@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // non-ANSI cast semantics (SURVEY §7.4.3): malformed casts yield NULL,
+      // matching the reference's PySpark 3.5 defaults and the oracle SQL's
+      // NULLIF/TRY_CAST phrasing.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 reads it only as long
+      // (graft.util.Tables.nanosToTs converts back to TimestampType).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.Tables._
+
+/** Relational operator surface from SURVEY.md §2 (mdhttx/ETL-SEATTLE-CALL-DATA),
+  * re-phrased over the driver testdata tables.
+  *
+  * Design rules (SURVEY §7.4 — determinism for the DuckDB oracle):
+  *   - every query ends in a total `orderBy` over a unique key;
+  *   - aggregated doubles go through DECIMAL so Spark and DuckDB sum exactly
+  *     (float summation order would otherwise diverge in the last ulp);
+  *   - final aggregate columns are cast to a fixed DECIMAL(p,s) because the
+  *     two engines widen sum() precision differently (22,2 vs 38,2);
+  *   - column names are aliased identically here and in the oracle SQL.
+  *
+  * Scale notes (100 TB framing): all aggregations here are partial-aggregate
+  * friendly (map-side combine); the star join broadcasts every dimension side
+  * (region/nation/customer are orders-of-magnitude smaller than lineitem), so
+  * the only shuffle is the final groupBy on a low-cardinality key.
+  */
+object RelationalQueries {
+
+  /** A2 (`load.py:86`, `query_cassandra.py:35`): global COUNT(*). */
+  def globalCount(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy().agg(count(lit(1)).as("cnt"))
+
+  /** A3 (`README.md:130-134`): the reference's one published analytical query,
+    * GROUP BY call_type COUNT(*) — transplanted onto events.event_type. */
+  def groupByCount(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** A1 (`transform.py:142`): distinct projection (HashAggregate). */
+  def distinctKeys(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** L1+L3 (`query_cassandra.py:20`): ORDER BY + LIMIT — Spark plans this as
+    * TakeOrderedAndProject (a top-k, no global sort). */
+  def topK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** P1 (`load.py:99-173`): fixed star-table column projection. Column pruning
+    * reaches the parquet scan (ReadSchema shows only these 4 columns). */
+  def project(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P2 (`transform.py:99-110`): drop columns; remainder ordered by key. */
+  def dropColumns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .drop("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** J1 (`transform.py:138-143`): the reference's left-anti equi-join — drop
+    * *all* rows of any key present in a (small, distinct) exclusion set. There
+    * it removes every dispatch of a CAD event with a null in-service time;
+    * here: remove every event of any user who ever produced an 'error' event.
+    * The distinct key set is small → Catalyst broadcasts (BHJ LeftAnti). */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val badUsers = ev
+      .filter(col("event_type") === "error" && col("value") > 190)
+      .select("user_id")
+      .distinct()
+    ev.join(badUsers, Seq("user_id"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** J2 (`README.md:77-81`): star-schema equi-joins, fact ↔ small dims.
+    * TPC-H-Q5 shaped: revenue per nation for one region. All three dimension
+    * sides are broadcast (they are tiny vs lineitem), so lineitem is never
+    * shuffled for the join — only the final 25-key groupBy shuffles. */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      col("l_orderkey"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) -
+          col("l_discount").cast(DecimalType(12, 2)))).as("rev"))
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** P7+A1 composed (`transform.py:140-142`): predicate filter + distinct
+    * projection — the build side of J1, exposed as its own operator. */
+  def filterDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type") === "error")
+      .select("user_id")
+      .distinct()
+      .orderBy("user_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_count"   -> (globalCount _),
+    "q_groupby_count"  -> (groupByCount _),
+    "q_distinct"       -> (distinctKeys _),
+    "q_topk"           -> (topK _),
+    "q_project"        -> (project _),
+    "q_drop_columns"   -> (dropColumns _),
+    "q_anti_join"      -> (antiJoin _),
+    "q_star_join"      -> (starJoin _),
+    "q_filter_distinct" -> (filterDistinct _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_global_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_groupby_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q_topk" ->
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders ORDER BY price DESC, o_orderkey LIMIT 25",
+    "q_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_drop_columns" ->
+      "SELECT o_orderkey, o_custkey, o_orderdate FROM orders ORDER BY o_orderkey",
+    "q_anti_join" ->
+      """SELECT event_type, count(*) AS cnt FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM events x WHERE x.event_type = 'error' AND x.value > 190 AND x.user_id = e.user_id)
+         GROUP BY event_type ORDER BY event_type""",
+    "q_star_join" ->
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+    "q_filter_distinct" ->
+      "SELECT DISTINCT user_id FROM events WHERE event_type = 'error' ORDER BY user_id",
+  )
+}

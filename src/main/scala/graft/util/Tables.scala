@@ -1,0 +1,35 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` entry receives `(spark, sfDir)`; these helpers
+  * centralize the parquet path convention so queries stay one-liners.
+  * Scans are plain `spark.read.parquet` — column pruning + predicate pushdown
+  * reach the parquet footer automatically (verified via `.explain`, see
+  * `graft.tools.ExplainAll`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
+    * LongType (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
+    * session builder in this repo). Convert to a microsecond TimestampType
+    * with integer division — a double division would lose precision above
+    * 2^53 ns. DuckDB oracle equivalent: `CAST(ts AS TIMESTAMP)` (ns → µs). */
+  private def nanosToTs(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = nanosToTs(table(s, d, "events"), "ts")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
