@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.Tables._
+
+/** Window functions, set ops, and the batch analogue of the streaming
+  * windowed aggregation (SURVEY §2.7/§2.8 — engine additions beyond the
+  * reference: it has no window functions or unions; we ship them because a
+  * complete engine needs them, and `row_number` is what makes E9
+  * deterministic).
+  *
+  * Scale notes: both windows partition by `user_id` (high cardinality → good
+  * parallelism, one hash shuffle, then in-partition sort); the running sum
+  * uses an explicit ROWS frame (the default RANGE frame sorts + scans peers).
+  */
+object WindowQueries {
+
+  /** row_number per key ordered by event time (tiebreak on unique id). */
+  def rowNumber(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), row_number().over(w).as("rn"))
+      .orderBy("event_id")
+  }
+
+  /** Running (cumulative) sum per key — decimal-routed for exact parity. */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(12, 2))).over(w)
+          .cast(DecimalType(18, 2)).as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Per-group top-k via rank over a descending ordering (classic pattern the
+    * reference's Power-BI layer would push down; TakeOrdered per group). */
+  def topPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, d)
+      .select(col("event_type"), col("event_id"),
+        col("value"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("event_type", "rk")
+  }
+
+  /** unionByName of two heterogeneous projections (SURVEY §2.7). */
+  def unionByNameCounts(s: SparkSession, d: String): DataFrame = {
+    val a = lineitem(s, d).select(lit("lineitem").as("src"), col("l_returnflag").as("flag"))
+    val b = orders(s, d).select(lit("orders").as("src"), col("o_orderstatus").as("flag"))
+    a.unionByName(b)
+      .groupBy("src", "flag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("src", "flag")
+  }
+
+  /** T5 batch analogue (SURVEY §2.8): tumbling 1-hour window count by type —
+    * the same groupBy(window) aggregation `graft.streaming` runs on a stream;
+    * phrased with date_trunc so the DuckDB oracle can express it. */
+  def hourlyCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("window_start", "event_type")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rownum"  -> (rowNumber _),
+    "q_window_running" -> (runningSum _),
+    "q_window_topk"    -> (topPerGroup _),
+    "q_union_byname"   -> (unionByNameCounts _),
+    "q_hourly_counts"  -> (hourlyCounts _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rownum" ->
+      """SELECT event_id, user_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         FROM events ORDER BY event_id""",
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value
+         FROM events ORDER BY event_id""",
+    "q_window_topk" ->
+      """SELECT * FROM (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+           FROM events) WHERE rk <= 3
+         ORDER BY event_type, rk""",
+    "q_union_byname" ->
+      """SELECT src, flag, count(*) AS cnt FROM (
+           SELECT 'lineitem' AS src, l_returnflag AS flag FROM lineitem
+           UNION ALL
+           SELECT 'orders' AS src, o_orderstatus AS flag FROM orders)
+         GROUP BY src, flag ORDER BY src, flag""",
+    "q_hourly_counts" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Smoke + invariants for every declared query on sf0.001 (the DuckDB hash
+  * gate runs driver-side at sf0.01; here we pin cheap structural facts). */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("entry (flagship star join) returns the per-nation revenue rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty && rows.forall(!_.anyNull))
+  }
+
+  test("anti-join removes every event of excluded users") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Tables.events(spark, sf)
+    val bad = ev.filter(col("event_type") === "error" && col("value") > 190)
+      .select("user_id").distinct()
+    val kept = ev.join(bad, Seq("user_id"), "left_anti")
+    assert(kept.join(bad, Seq("user_id"), "inner").count() == 0)
+    assert(kept.count() + ev.join(bad, Seq("user_id"), "left_semi").count() == ev.count())
+  }
+
+  test("star join broadcasts the dimension sides (no shuffle of lineitem for the join)") {
+    val plan = RelationalQueries.starJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("projection prunes the parquet scan to selected columns") {
+    val plan = RelationalQueries.project(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"),
+      s"scan not pruned:\n$plan")
+  }
+
+  test("surrogate ids are dense 0..n-1 (deterministic E9 variant)") {
+    val ids = ScalarQueries.surrogateId(spark, sf)
+      .select("dim_id").collect().map(_.getInt(0).toLong)
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+  }
+}
