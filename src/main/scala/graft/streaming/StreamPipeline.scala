@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.IntegerType
+
+/** The Kafka → Structured Streaming → key-value store pipeline
+  * (SURVEY §2.1 S8-S13, §2.8 T1-T7; reference
+  * `Real_Time_Streaming/consumer/consumer_cassandra.py`).
+  *
+  * Deviations, both documented in SURVEY and both improvements:
+  *   - T4: we always set `checkpointLocation` (the reference has none — no
+  *     recovery, at-most-once across restarts);
+  *   - per-epoch the reference triggers 3 actions on the same un-cached
+  *     micro-batch (count, show, write — SURVEY §3.2); we cache the epoch
+  *     DataFrame across them.
+  */
+object StreamPipeline {
+
+  /** S9: Kafka source — production path (not reachable in tests: no broker;
+    * tests drive [[decode]]+[[start]] through a MemoryStream). */
+  def kafkaSource(spark: SparkSession, broker: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", broker)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+
+  /** S8/E12 (`producer.py:33`): the producer-side ingest stamp — ISO-8601
+    * microsecond `processed_at`, the Spark-side equivalent of Python's
+    * `datetime.utcnow().isoformat()`. Applied at ingest when records enter
+    * from a source that lacks the field. */
+  def stampProcessedAt(df: DataFrame): DataFrame =
+    df.withColumn("processed_at",
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+
+  /** S10 (`consumer_cassandra.py:256-259`): JSON decode + flatten. */
+  def decode(kafkaDf: DataFrame): DataFrame =
+    kafkaDf
+      .select(from_json(col("value").cast("string"), StreamSchema.schema).alias("data"))
+      .select("data.*")
+
+  /** E8 (`consumer_cassandra.py:165-196`): strip non-digits and cast the 13
+    * duration columns to int. The when-guard has no otherwise → nulls stay
+    * null; empty-after-strip strings cast to null (non-ANSI). */
+  def transformTimeFields(df: DataFrame): DataFrame =
+    StreamSchema.durationColumns.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          trim(regexp_replace(col(c), "[^0-9]", "")).cast(IntegerType)))
+    }
+
+  /** Sink contract for the per-epoch write (S11). The reference's Cassandra
+    * table upserts on PK `cad_event_number`; local stand-in is an
+    * append-only parquet log collapsed to latest-per-key on read. */
+  trait StreamSink {
+    def write(df: DataFrame, epochId: Long): Unit
+  }
+
+  /** Append-log parquet sink + Cassandra-style PK semantics on read. */
+  class KeyValueParquetSink(spark: SparkSession, dir: String,
+                            keyCol: String = "cad_event_number") extends StreamSink {
+    def write(df: DataFrame, epochId: Long): Unit =
+      df.withColumn("epoch_id", lit(epochId))
+        .write.mode("append").parquet(dir)
+
+    /** Last-writer-wins view over the append log (PK upsert semantics, T6):
+      * latest (epoch_id, insert_timestamp, processed_at) per key. The third
+      * key breaks ties *within* a micro-batch — insert_timestamp is constant
+      * per epoch (current_timestamp folds once per query), so without it the
+      * surviving duplicate would be arbitrary. */
+    def snapshot(): DataFrame = {
+      val w = Window.partitionBy(keyCol)
+        .orderBy(col("epoch_id").desc, col("insert_timestamp").desc,
+          col("processed_at").desc_nulls_last)
+      spark.read.parquet(dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+  }
+
+  /** T3+T7 (`consumer_cassandra.py:198-226`): the micro-batch body — E8
+    * casts, insert_timestamp stamp, count, sink write; failed batches are
+    * logged and dropped. Returns the record count (driver-observable). */
+  def processBatch(df: DataFrame, epochId: Long, sink: StreamSink): Long =
+    try {
+      val stamped = transformTimeFields(df)
+        .withColumn("insert_timestamp", current_timestamp())
+        .persist() // one evaluation for count + write (reference recomputes 3×)
+      try {
+        val n = stamped.count()
+        if (n > 0) sink.write(stamped, epochId)
+        n
+      } finally stamped.unpersist()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[stream] error processing batch $epochId: ${e.getMessage}")
+        -1L
+    }
+
+  /** T1-T4 (`consumer_cassandra.py:263-271`): start the query. Update output
+    * mode (degenerate append with foreachBatch — documented), 10 s processing
+    * trigger by default, checkpointed. */
+  def start(parsed: DataFrame, sink: StreamSink, checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        processBatch(df, epochId, sink): Unit
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  // ---- serving-store query surface (S12/S13 + README.md:130-134) ----
+
+  /** S12: `SELECT * FROM police_calls LIMIT n` (`query_cassandra.py:20`). */
+  def pointRead(store: DataFrame, n: Int = 10): DataFrame = store.limit(n)
+
+  /** S13: `SELECT COUNT(*)` (`query_cassandra.py:35`). */
+  def countAll(store: DataFrame): Long = store.count()
+
+  /** The README's one analytical query: GROUP BY call_type counts. */
+  def callTypeCounts(store: DataFrame): DataFrame =
+    store.groupBy("call_type").agg(count(lit(1)).as("cnt")).orderBy("call_type")
+
+  // ---- T5 engine extension (absent in reference, SURVEY §2.8) ----
+
+  /** Watermarked tumbling-window counts — the streaming analogue of the A3
+    * aggregate. Event time = `cad_event_original_time_queued`. */
+  def windowedCounts(parsed: DataFrame,
+                     watermark: String = "10 minutes",
+                     windowLen: String = "5 minutes"): DataFrame =
+    parsed
+      .withWatermark("cad_event_original_time_queued", watermark)
+      .groupBy(
+        window(col("cad_event_original_time_queued"), windowLen),
+        col("call_type"))
+      .agg(count(lit(1)).as("cnt"))
+}

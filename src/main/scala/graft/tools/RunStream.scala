@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamPipeline
+
+/** CLI entry for the streaming pipeline — the Scala analogue of
+  * `python consumer_cassandra.py` (SURVEY §3.2), with a JSON-lines file
+  * directory standing in for the Kafka topic (no broker in this
+  * environment; swap [[StreamPipeline.kafkaSource]] in production).
+  *
+  * Usage: runMain graft.tools.RunStream <jsonDir> <sinkDir> <checkpointDir>
+  * Processes everything available, prints the serving-store query surface
+  * (count, point read, call-type aggregate), then exits.
+  */
+object RunStream {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: RunStream <jsonDir> <sinkDir> <checkpointDir>")
+    val Array(inDir, sinkDir, ckptDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // file-source twin of the Kafka value column
+      val raw = spark.readStream.text(inDir).withColumnRenamed("value", "value")
+      val parsed = StreamPipeline.decode(raw)
+      val sink = new StreamPipeline.KeyValueParquetSink(spark, sinkDir)
+      val q = StreamPipeline.start(parsed, sink, ckptDir, Trigger.AvailableNow())
+      q.awaitTermination()
+      val snap = sink.snapshot()
+      println(s"[stream] store count: ${StreamPipeline.countAll(snap)}")
+      StreamPipeline.pointRead(snap, 5)
+        .select("cad_event_number", "call_type", "call_sign_response_time_s_")
+        .show(5, truncate = false)
+      StreamPipeline.callTypeCounts(snap).show(truncate = false)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hermetic streaming tests (SURVEY §5.4): MemoryStream stands in for the
+  * Kafka topic, KeyValueParquetSink for Cassandra. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def record(ev: String, callType: String, resp: String,
+                     queued: String = "2023-01-15T13:00:00.000", extra: String = ""): String =
+    s"""{"cad_event_number":"$ev","call_type":"$callType",
+        "cad_event_original_time_queued":"$queued",
+        "call_sign_response_time_s_":${if (resp == null) "null" else s""""$resp""""},
+        "processed_at":"2023-01-15T13:00:05.123456"$extra}"""
+      .replaceAll("\n\\s*", "")
+
+  test("end-to-end micro-batches: JSON decode, E8 casts, PK upsert snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val parsed = StreamPipeline.decode(input.toDF().withColumnRenamed("value", "value"))
+    val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val sink = new StreamPipeline.KeyValueParquetSink(spark, sinkDir)
+    val q = StreamPipeline.start(parsed, sink, ckpt, Trigger.ProcessingTime(0))
+
+    // batch 1: dirty duration strings per FIXTURES.md §2
+    input.addData(
+      record("E1", "911", "123"),
+      record("E2", "ONVIEW", " 456 "),
+      record("E3", "911", "78s"),
+      record("E4", "911", ""),
+      record("E5", "911", null))
+    q.processAllAvailable()
+
+    // batch 2: duplicate key E1 arrives again -> upsert keeps the later value
+    input.addData(record("E1", "911-DUP", "999"))
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = sink.snapshot()
+    val byKey = snap.select("cad_event_number", "call_type", "call_sign_response_time_s_")
+      .collect().map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) null else r.getInt(2)))
+      .toMap
+    assert(byKey.keySet == Set("E1", "E2", "E3", "E4", "E5"))
+    assert(byKey("E1") == ("911-DUP", 999))  // last-writer-wins (T6)
+    assert(byKey("E2")._2 == 456)            // " 456 " -> trim+strip -> 456
+    assert(byKey("E3")._2 == 78)             // "78s" -> strip alpha -> 78
+    assert(byKey("E4")._2 == null)           // "" -> strip -> "" -> cast null
+    assert(byKey("E5")._2 == null)           // null stays null (no otherwise)
+
+    // missing fields -> from_json nulls
+    assert(snap.filter(col("cad_event_number") === "E2")
+      .select("dispatch_precinct").head().isNullAt(0))
+
+    // serving-store query surface (S12/S13 + README aggregate)
+    assert(StreamPipeline.countAll(snap) == 5L)
+    assert(StreamPipeline.pointRead(snap, 3).count() == 3L)
+    val counts = StreamPipeline.callTypeCounts(snap).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("911" -> 3L, "911-DUP" -> 1L, "ONVIEW" -> 1L))
+  }
+
+  test("malformed JSON rows decode to all-null records, batch still succeeds (T7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val parsed = StreamPipeline.decode(input.toDF())
+    val sinkDir = Files.createTempDirectory("graft_stream_bad").toString
+    val ckpt = Files.createTempDirectory("graft_stream_bad_ckpt").toString
+    val sink = new StreamPipeline.KeyValueParquetSink(spark, sinkDir)
+    val q = StreamPipeline.start(parsed, sink, ckpt, Trigger.ProcessingTime(0))
+    input.addData("not json at all", record("OK1", "911", "1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sinkDir)
+    assert(rows.count() == 2) // malformed row survives as null record (PERMISSIVE from_json)
+    assert(rows.filter(col("cad_event_number").isNull).count() == 1)
+  }
+
+  test("T5 extension: watermarked tumbling-window counts aggregate by event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val windowed = StreamPipeline.windowedCounts(
+      StreamPipeline.decode(input.toDF()), "10 minutes", "5 minutes")
+    val q = windowed.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("windowed_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(
+      record("W1", "911", "1", queued = "2023-01-15T13:01:00.000"),
+      record("W2", "911", "1", queued = "2023-01-15T13:03:00.000"),
+      record("W3", "911", "1", queued = "2023-01-15T13:07:00.000"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("windowed_out")
+      .select(col("window.start").cast("string"), col("call_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2023-01-15 13:00:00", "911", 2L),
+      ("2023-01-15 13:05:00", "911", 1L)))
+  }
+}
