@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines
+  * (BASELINE.json north star; SURVEY §7.2.6). Everything here is a
+  * composition of codegen'd built-ins — no UDFs, no driver round-trips —
+  * so each function stays inside whole-stage codegen and scales linearly
+  * with a parquet scan at 100 TB.
+  */
+object TextFunctions {
+
+  /** Distinct whitespace-separated words. */
+  def words(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Word count (whitespace tokenization). */
+  def wordCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: word pieces OR single non-word-non-space chars —
+    * the standard pre-tokenizer split, counted without materializing tokens. */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  /** Character n-gram distinct count (shingle cardinality — the building
+    * block of n-gram Jaccard similarity). */
+  def charNgramCardinality(text: Column, n: Int = 3): Column =
+    when(length(text) < n, lit(0)).otherwise(
+      size(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n))))))
+
+  /** substring with a per-row start position (functions.substring only takes
+    * literal ints; the SQL form accepts columns). */
+  private def substring(text: Column, pos: Column, len: Column): Column =
+    call_function("substring", text, pos, len)
+
+  /** Word n-gram shingles (n consecutive words joined by space); texts
+    * shorter than n words fall back to the whole text as one shingle. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
+    when(size(w) < n, array(text)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+  }
+
+  /** Jaccard similarity of two pre-deduplicated arrays, via
+    * |A∩B| = |A|+|B|-|A∪B| (array_union dedups in Spark and DuckDB alike;
+    * int/int division yields double in both → exact parity). */
+  def jaccard(a: Column, b: Column): Column = {
+    val unionSize = size(array_union(a, b))
+    val interSize = size(a) + size(b) - unionSize
+    interSize.cast("double") / unionSize.cast("double")
+  }
+
+  /** Stopword-hit ratio of the word sequence, in basis points with floor
+    * division (integer arithmetic → exact cross-engine parity). Low stopword
+    * ratio on natural-language text is a classic quality signal. */
+  def stopwordRatioBp(text: Column,
+                      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
+    val w = split(text, " ")
+    val hits = size(filter(w, x => x.isInCollection(stopwords)))
+    floor(hits * lit(10000) / size(w)).cast("long")
+  }
+
+  /** Deterministic document fingerprint: md5 of the normalized text
+    * (lowercase, alphanumerics only) — an exact-dedup key that survives
+    * whitespace/punctuation jitter. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", "").cast("binary"))
+
+  /** Marker lists for [[langGuess]] — illustrative, swap per corpus. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "die", "und"))
+
+  /** Language guess via marker-token counts (n-gram heuristic): highest
+    * marker-hit count wins; ties resolve by fixed priority en>es>fr>de —
+    * a deterministic rule both engines express as a when/CASE cascade. */
+  def langGuess(text: Column): Column = {
+    val w = split(text, " ")
+    val score = langMarkers.toMap.view.mapValues(m =>
+      size(filter(w, x => x.isInCollection(m)))).toMap
+    val Seq(en, es, fr, de) = Seq("en", "es", "fr", "de").map(score)
+    when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+}

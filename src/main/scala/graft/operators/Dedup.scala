@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (BASELINE.json north
+  * star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB framing):
+  *   - signature computation (MinHash, SimHash) is **map-only**: per-row
+  *     array expressions over the shingle set, no explode, no shuffle;
+  *   - candidate generation shuffles only on LSH band keys (small keys, high
+  *     selectivity), never on raw text;
+  *   - verification (exact Jaccard) runs only on candidate pairs — the
+  *     classic shingle→minhash→band→bucket-join pipeline;
+  *   - exact dedup groups on a 128-bit fingerprint, not the full document,
+  *     so the shuffle carries 16 bytes + ids per row.
+  */
+object Dedup {
+
+  private val Prime: Long = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Deterministic (a, b) parameters for the k permutation hashes. */
+  private def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Exact dedup on explicit key columns (hash-groupBy). */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Exact dedup by normalized-text fingerprint: survives whitespace and
+    * punctuation jitter, shuffles 16-byte keys instead of documents. */
+  def exactByFingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col("__id_for_dedup"))
+    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__id_for_dedup", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__id_for_dedup", "__rn")
+  }
+
+  /** Per-document MinHash signature (k permutation-mins over word-shingle
+    * hashes) — one array column, computed entirely row-local. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val hashes = transform(TextFunctions.wordShingles(col(textCol), shingleN),
+      t => pmod(xxhash64(t), lit(Prime)))
+    val sig = array(perms(k).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(Prime))))
+    }: _*)
+    df.withColumn("minhash_sig", sig)
+  }
+
+  /** LSH band keys: k-length signature split into `bands` bands of k/bands
+    * rows each; docs sharing any band key are candidate near-duplicates. */
+  def withBandKeys(df: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { i =>
+      xxhash64(concat_ws(",", slice(col("minhash_sig"), i * r + 1, r)), lit(i))
+    }
+    df.withColumn("band_keys", array(bandCols: _*))
+  }
+
+  /** Full MinHash-LSH near-duplicate pair detection:
+    * shingle → minhash → band → bucket-join → exact-Jaccard verify.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold. */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.7, k: Int = 16,
+                            bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sigs = withBandKeys(withMinhashSignature(df, textCol, k, shingleN), k, bands)
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"),
+        col("band_keys"))
+    val exploded = sigs.select(col("id"), col("shingles"), explode(col("band_keys")).as("band"))
+    val a = exploded.select(col("band"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = exploded.select(col("band"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct() // a pair may collide in several bands
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word hashes — row-local (array fold, no shuffle).
+    * Near-duplicates are pairs within small Hamming distance. Tokens are NOT
+    * deduplicated: term frequency is the simhash weight (on low-entropy
+    * corpora the distinct word *set* collides across thousands of unrelated
+    * docs; the multiset discriminates). */
+  def simhash64(textCol: Column): Column = {
+    val hashes = transform(split(textCol, " "), t => xxhash64(t))
+    val zeros = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+    val sums = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
+        a + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(63)), (s, bit) =>
+        when(s > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs, blocked by the fingerprint's high bytes
+    * (cheap LSH analogue: near-identical fingerprints share the prefix;
+    * maxHamming ≤ 8 of 64 bits makes a 16-bit-prefix block miss unlikely
+    * for true near-dups while slashing the pair space). */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 8): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .withColumn("block", call_function("shiftright", col("sig"), lit(48)))
+    val a = withSig.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = withSig.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Blocked pairwise n-gram (word-set) Jaccard — the verify-everything
+    * baseline for corpora small enough to pair within blocks. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockExpr: Column, threshold: Double): DataFrame = {
+    val prepared = df.select(col(idCol).as("id"), blockExpr.as("block"),
+      TextFunctions.words(col(textCol)).as("w"))
+    val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"))
+    val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", TextFunctions.jaccard(col("w_a"), col("w_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Similarity}
+import graft.util.Tables._
+
+/** Similarity-search and near-dup query surface over `embeddings` and
+  * `documents` (training-data extensions).
+  *
+  * Float discipline for the oracle: embeddings widen float→double
+  * elementwise (exact), dot/norm fold sequentially in array order in both
+  * engines → bit-identical doubles; outputs round through DECIMAL.
+  * MinHash/SimHash signatures hash with Spark's xxhash64, which DuckDB
+  * doesn't implement — those two queries are declared without oracle SQL
+  * (rows-only check) and verified by crafted-duplicate ScalaTest instead. */
+object SimilarityQueries {
+
+  /** L2 norms — the numeric-parity canary for the whole embedding family. */
+  def embedNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        Similarity.l2Norm(Similarity.toDouble(col("embedding")))
+          .as("l2_norm"))
+      .select(col("vec_id"),
+        round(col("l2_norm"), 6).cast(DecimalType(18, 6)).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** Brute-force cosine top-5 for the 8 lowest-id query vectors. */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-bucketed ANN (the scale path) — same output shape as brute force;
+    * approximate by construction, so no oracle: the ScalaTest suite instead
+    * measures recall against [[cosineTopK]]. */
+  def cosineTopKIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Blocked pairwise word-set Jaccard: top-50 most similar document pairs
+    * within (lang, length-bucket) blocks — n-gram Jaccard near-dup surface,
+    * fully oracle-checkable (no hash functions involved). */
+  def jaccardTopPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockExpr = concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("long")),
+        threshold = 0.0)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).cast(DecimalType(18, 6)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  /** MinHash signatures + band keys per doc (rows-only: xxhash64 has no
+    * DuckDB twin). Near-dup *pair* extraction is covered by DedupSpec with
+    * crafted duplicates. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    Dedup.withBandKeys(Dedup.withMinhashSignature(documents(s, d), "text"))
+      .select(col("doc_id"), col("minhash_sig"), col("band_keys"))
+      .orderBy("doc_id")
+
+  /** SimHash 64-bit fingerprints (rows-only, same reason). */
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norm"      -> (embedNorm _),
+    "q_cosine_topk"     -> (cosineTopK _),
+    "q_cosine_topk_ivf" -> (cosineTopKIvf _),
+    "q_jaccard_pairs"   -> (jaccardTopPairs _),
+    "q_minhash_sig"     -> (minhashSignatures _),
+    "q_simhash"         -> (simhashFingerprints _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_embed_norm" ->
+      """SELECT vec_id,
+                CAST(round(sqrt(list_reduce(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b)), 6) AS DECIMAL(18,6)) AS l2_norm
+         FROM embeddings ORDER BY vec_id""",
+    "q_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                     list_reduce(list_transform(range(1, len(q.ve) + 1),
+                                                i -> q.ve[i] * c.ve[i]), (a,b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(q.ve, x -> x*x), (a,b) -> a+b))
+                        * sqrt(list_reduce(list_transform(c.ve, x -> x*x), (a,b) -> a+b))) AS sim
+              FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, candidate_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, candidate_id) AS rank,
+                     sim
+              FROM sims)
+         SELECT query_id, candidate_id, rank,
+                CAST(round(sim, 6) AS DECIMAL(18,6)) AS sim
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q_jaccard_pairs" ->
+      """WITH docs AS (
+             SELECT doc_id, lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+                    list_distinct(string_split(text, ' ')) AS w
+             FROM documents),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (len(a.w) + len(b.w) - len(list_distinct(list_concat(a.w, b.w))))
+                    / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) AS jaccard
+             FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(round(jaccard, 6) AS DECIMAL(18,6)) AS jaccard
+         FROM pairs ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+  )
+}

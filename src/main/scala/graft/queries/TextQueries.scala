@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.util.Tables._
+
+/** Text-analysis query surface over `documents` (training-data extensions;
+  * BASELINE.json north star). All single-pass, codegen'd, no UDFs. */
+object TextQueries {
+
+  /** Length / word / distinct-word stats per document. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        wordCount(col("text")).as("n_words"),
+        size(words(col("text"))).as("n_distinct_words"))
+      .orderBy("doc_id")
+
+  /** BPE-ish pre-tokenizer token count. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Distinct character-3-gram cardinality (shingle space size). */
+  def ngramCardinality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), charNgramCardinality(col("text"), 3).as("n_3grams"))
+      .orderBy("doc_id")
+
+  /** Quality signal: stopword ratio in basis points + words-per-doc. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        stopwordRatioBp(col("text")).as("stopword_bp"),
+        wordCount(col("text")).as("n_words"))
+      .orderBy("doc_id")
+
+  /** Marker-based language guess vs the labeled lang column. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), langGuess(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** Normalized-text md5 fingerprint (exact-dedup key). */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup summarized: one row per distinct text with the surviving
+    * (minimum) doc_id and the duplicate count. Groups on the md5 of the text
+    * — the shuffle carries 16-byte keys, not documents (100 TB discipline). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+      .groupBy("text_md5")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  /** Multimodal plumbing surface (the decode itself is stubbed — no codec
+    * libs in this container): opaque binary payload + typed metadata. The
+    * oracle checks byte length and content hash of the binary column. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy("doc_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"        -> (textStats _),
+    "q_token_count"       -> (tokenCounts _),
+    "q_ngram_cardinality" -> (ngramCardinality _),
+    "q_quality_score"     -> (qualityScore _),
+    "q_lang_id"           -> (langId _),
+    "q_fingerprint"       -> (fingerprints _),
+    "q_dedup_exact"       -> (dedupExact _),
+    "q_multimodal_meta"   -> (multimodalMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+         FROM documents ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_ngram_cardinality" ->
+      """SELECT doc_id,
+                CASE WHEN length(text) < 3 THEN 0
+                     ELSE len(list_distinct(list_transform(range(1, length(text) - 1),
+                                                           i -> substr(text, i, 3)))) END AS n_3grams
+         FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      """SELECT doc_id,
+                CAST(floor(len(list_filter(string_split(text, ' '),
+                                           x -> x IN ('the','a','of','and','to'))) * 10000
+                           / len(string_split(text, ' '))) AS BIGINT) AS stopword_bp,
+                len(string_split(text, ' ')) AS n_words
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+                  len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS s_en,
+                  len(list_filter(string_split(text,' '), x -> x IN ('el','la','de')))  AS s_es,
+                  len(list_filter(string_split(text,' '), x -> x IN ('le','la','et')))  AS s_fr,
+                  len(list_filter(string_split(text,' '), x -> x IN ('der','die','und'))) AS s_de
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                     WHEN s_fr >= s_de THEN 'fr'
+                     ELSE 'de' END AS lang_guess
+         FROM scored ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+         FROM documents ORDER BY doc_id""",
+  )
+}

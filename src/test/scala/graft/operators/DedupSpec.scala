@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Crafted-duplicate tests for the dedup family — the oracle can't check
+  * MinHash/SimHash (no shared hash function with DuckDB), so correctness is
+  * pinned here on inputs with known near-duplicate structure. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                                   // exact dup of 0
+    (2L, base.replace("today", "tonight")),                       // near dup of 0/1
+    (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+    (4L, "The  quick brown fox, jumps over the lazy dog near the river bank today!") // normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text") {
+    assert(Dedup.exact(docs, Seq("text")).count() == 4) // 0/1 collapse
+  }
+
+  test("fingerprint dedup also collapses the punctuation/case/whitespace variant") {
+    val kept = Dedup.exactByFingerprint(docs, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 3) // {0,1,4} collapse to one survivor
+    assert(kept.contains(3L) && kept.contains(2L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near dup pairs missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive with unrelated doc: $pairs")
+  }
+
+  test("identical texts have identical minhash signatures") {
+    val sigs = Dedup.withMinhashSignature(docs, "text")
+      .select("doc_id", "minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("simhash: exact dups at hamming 0, near dups close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) == 0)
+    assert(ham(sigs(0L), sigs(2L)) <= 12, s"near dup too far: ${ham(sigs(0L), sigs(2L))}")
+    assert(ham(sigs(0L), sigs(3L)) > 12, s"unrelated too close: ${ham(sigs(0L), sigs(3L))}")
+  }
+
+  test("simhash near-dup pairs surface the duplicate cluster") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard pairs: blocked pairwise similarity ranks near dups first") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", lit(1), threshold = 0.3)
+      .orderBy(col("jaccard").desc)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.head._1 == ((0L, 1L)) && pairs.head._2 == 1.0)
+    assert(pairs.map(_._1).contains((0L, 2L)))
+  }
+
+  test("minhash near-dup plan shuffles band keys, not raw-text cross joins") {
+    val plan = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"dedup must not cross-join:\n$plan")
+  }
+}

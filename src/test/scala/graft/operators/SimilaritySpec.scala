@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.Tables
+
+/** ANN operator tests: brute force is the ground truth; the IVF variant is
+  * judged by recall against it (approximate by construction). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1), df, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(math.abs(top(2L) - 1.0) < 1e-12)
+    assert(math.abs(top(3L)) < 1e-12)
+  }
+
+  test("brute-force top-k returns exactly k ranked neighbors per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims not descending")
+    }
+  }
+
+  test("IVF ANN recall@5 >= 0.5 vs brute force on the test embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val approx = pairs(Similarity.ivfTopK(emb, queries, k = 5, numCentroids = 16, nprobe = 4))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
+  }
+
+  test("embedding near-duplicate detection finds planted duplicates") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val jit = base.clone(); jit(0) += 0.001f
+    val other = Array.tabulate(8)(i => ((i * 37) % 13 - 6).toFloat)
+    val df = Seq((1L, base), (2L, jit), (3L, other)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDuplicates(df, threshold = 0.999, numCentroids = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("brute-force plan broadcasts the query side") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+}
