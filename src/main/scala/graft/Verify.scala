@@ -7,20 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // non-ANSI cast semantics (SURVEY §7.4.3): malformed casts yield NULL,
-      // matching the reference's PySpark 3.5 defaults and the oracle SQL's
-      // NULLIF/TRY_CAST phrasing.
-      .config("spark.sql.ansi.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 reads it only as long
-      // (graft.util.Tables.nanosToTs converts back to TimestampType).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.Sessions.build("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

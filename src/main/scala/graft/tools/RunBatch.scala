@@ -12,15 +12,7 @@ object RunBatch {
     require(args.length >= 2, "usage: RunBatch <csvPath> <outDir> [--infer-schema]")
     val Array(csvPath, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-batch-etl")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.Sessions.build("graft-batch-etl")
     try {
       val counts = graft.ops.Load.runBatch(spark, csvPath, outDir,
         declaredSchema = !args.contains("--infer-schema"))

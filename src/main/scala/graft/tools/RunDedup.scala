@@ -12,16 +12,7 @@ object RunDedup {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: RunDedup <sfDir>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-dedup")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.Sessions.build("graft-dedup")
     try {
       val docs = graft.util.Tables.documents(spark, args(0))
       val total = docs.count()

@@ -19,15 +19,7 @@ object RunStream {
     require(args.length == 3, "usage: RunStream <jsonDir> <sinkDir> <checkpointDir>")
     val Array(inDir, sinkDir, ckptDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-stream")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.Sessions.build("graft-stream")
     try {
       // file-source twin of the Kafka value column
       val raw = spark.readStream.text(inDir).withColumnRenamed("value", "value")

@@ -1,0 +1,28 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session recipe — every CLI main builds
+  * through here so the graft extensions (SQL `to_24h`, FoldTo24Hour rule)
+  * and the parity-critical configs ship uniformly.
+  */
+object Sessions {
+  def build(appName: String,
+            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // non-ANSI cast semantics: malformed casts yield NULL (reference
+      // PySpark 3.5 behavior; oracle SQL phrased to match — SURVEY §7.4.3)
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); Tables.events converts back
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.expr.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

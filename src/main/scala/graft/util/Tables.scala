@@ -32,4 +32,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = nanosToTs(table(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** All tables with their typed readers (events gets the ns→µs timestamp
+    * restoration) — use this, not raw `table`, when registering views. */
+  def all(s: SparkSession, d: String): Map[String, DataFrame] = Map(
+    "region" -> region(s, d), "nation" -> nation(s, d),
+    "customer" -> customer(s, d), "supplier" -> supplier(s, d),
+    "part" -> part(s, d), "orders" -> orders(s, d),
+    "lineitem" -> lineitem(s, d), "events" -> events(s, d),
+    "documents" -> documents(s, d), "embeddings" -> embeddings(s, d))
 }
