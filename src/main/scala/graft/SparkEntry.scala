@@ -17,11 +17,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ ScalarQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ ExtendedRelationalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ScalarQueries.oracle ++ WindowQueries.oracle ++
-      TextQueries.oracle ++ SimilarityQueries.oracle
+      TextQueries.oracle ++ SimilarityQueries.oracle ++ ExtendedRelationalQueries.oracle
 }

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.Tables._
+
+/** Engine additions beyond the reference's operator set (SURVEY §2.7 notes
+  * the reference has none of these): the join/aggregation vocabulary a
+  * complete engine owes its users. Each is oracle-checked.
+  *
+  * Ordering discipline: Spark sorts NULLS FIRST ascending by default,
+  * DuckDB NULLS LAST — every oracle ORDER BY pins NULLS FIRST explicitly.
+  */
+object ExtendedRelationalQueries {
+
+  /** Left-semi join (EXISTS): customers with at least one urgent order. */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    customer(s, d).join(urgent, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-outer join with null-producing right side: every customer with its
+    * urgent-order count (0 for none — coalesced aggregate). */
+  def leftJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val urgentCounts = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_urgent"))
+    customer(s, d)
+      .join(urgentCounts, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Rollup: subtotals per (returnflag, linestatus), per returnflag, grand
+    * total — decimal-routed sums, null group keys ordered NULLS FIRST. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("qty").cast(DecimalType(18, 2)).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct-count aggregate (the reference's closest is A1+A2). */
+  def countDistinct_(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** Pivot-style conditional aggregation: one column per order status,
+    * phrased as CASE sums so the DuckDB oracle states it identically. */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** HAVING: groups filtered on an aggregate (post-aggregation predicate). */
+  def havingAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > 100)
+      .orderBy("l_suppkey")
+
+  /** Correlated-style scalar aggregate comparison: orders above their
+    * customer's average order value (window-based, one shuffle). */
+  def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      .withColumn("cust_avg", avg("price").over(w))
+      .filter(col("price") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "price")
+      .orderBy("o_orderkey")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_join"      -> (semiJoin _),
+    "q_left_join_agg"  -> (leftJoinAgg _),
+    "q_rollup"         -> (rollupAgg _),
+    "q_count_distinct" -> (countDistinct_ _),
+    "q_pivot"          -> (pivotAgg _),
+    "q_having"         -> (havingAgg _),
+    "q_above_cust_avg" -> (aboveCustomerAvg _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_left_join_agg" ->
+      """SELECT c_custkey, coalesce(u.n_urgent, 0) AS n_urgent
+         FROM customer c
+         LEFT JOIN (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                    WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+           ON c.c_custkey = u.o_custkey
+         ORDER BY c_custkey""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_having" ->
+      """SELECT l_suppkey, count(*) AS n_items FROM lineitem
+         GROUP BY l_suppkey HAVING count(*) > 100 ORDER BY l_suppkey""",
+    "q_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, price FROM (
+           SELECT o_orderkey, o_custkey,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                  avg(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS cust_avg
+           FROM orders)
+         WHERE price > cust_avg ORDER BY o_orderkey""",
+  )
+}

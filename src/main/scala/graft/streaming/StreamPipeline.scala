@@ -141,4 +141,29 @@ object StreamPipeline {
         window(col("cad_event_original_time_queued"), windowLen),
         col("call_type"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Running totals per call_type observed so far. */
+  case class CallTypeState(call_type: String, total: Long, batches: Long)
+
+  /** Custom-state streaming via `mapGroupsWithState` (SURVEY §2.8 engine
+    * extension; the reference has no stateful ops): per-key state survives
+    * across micro-batches in the state store, checkpointed with the query.
+    * State is O(#distinct call types) — bounded, no watermark needed; keyed
+    * state partitions across executors like any keyed stream. */
+  def statefulCallTypeTotals(spark: SparkSession, parsed: DataFrame)
+      : org.apache.spark.sql.Dataset[CallTypeState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    parsed
+      .filter(col("call_type").isNotNull)
+      .select(col("call_type")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[CallTypeState, CallTypeState](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(CallTypeState(key, 0L, 0L))
+          val next = CallTypeState(key, prev.total + rows.size, prev.batches + 1)
+          state.update(next)
+          next
+      }
+  }
 }

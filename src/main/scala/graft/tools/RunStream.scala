@@ -33,6 +33,21 @@ object RunStream {
         .select("cad_event_number", "call_type", "call_sign_response_time_s_")
         .show(5, truncate = false)
       StreamPipeline.callTypeCounts(snap).show(truncate = false)
+      // stateful running totals (mapGroupsWithState) over the same input.
+      // Memory-sink queries cannot recover from a checkpoint, so this demo
+      // query gets a throwaway checkpoint and recomputes over everything
+      // available; a durable sink would reuse ckptDir like the main query.
+      val stateQ = StreamPipeline.statefulCallTypeTotals(
+          spark, StreamPipeline.decode(spark.readStream.text(inDir)))
+        .toDF().writeStream
+        .outputMode("update").format("memory").queryName("stateful_totals")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-state-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      stateQ.awaitTermination()
+      println("[stream] stateful running totals per call_type:")
+      spark.table("stateful_totals")
+        .groupBy("call_type").max("total", "batches").show(truncate = false)
     } finally spark.stop()
   }
 }

@@ -86,6 +86,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(col("cad_event_number").isNull).count() == 1)
   }
 
+  test("stateful mapGroupsWithState keeps running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val totals = StreamPipeline.statefulCallTypeTotals(
+      spark, StreamPipeline.decode(input.toDF()))
+    val q = totals.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stateful_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(record("S1", "911", "1"), record("S2", "911", "1"), record("S3", "ONVIEW", "1"))
+    q.processAllAvailable()
+    input.addData(record("S4", "911", "1"))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink keeps every emitted update; the latest row per
+    // key reflects state carried across the two batches
+    val latest = spark.table("stateful_out")
+      .groupBy("call_type")
+      .agg(max("total").as("total"), max("batches").as("batches"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(latest("911") == ((3L, 2L)))    // 2 in batch 1 + 1 in batch 2
+    assert(latest("ONVIEW") == ((1L, 1L)))
+  }
+
   test("T5 extension: watermarked tumbling-window counts aggregate by event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
