@@ -78,6 +78,37 @@ object SimilarityQueries {
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Per-label embedding centroid via the custom typed Aggregator
+    * ([[graft.functions.VectorAgg.VectorMean]]), exploded to (label, dim,
+    * value) rows so the oracle hashes scalars, not float lists. round(4)
+    * absorbs the last-ulp difference between Spark's partition-order partial
+    * sums and DuckDB's scan-order sums. */
+  def vectorMeanByLabel(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(graft.functions.VectorAgg.vector_mean(64)(col("embedding")).as("mean_vec"))
+      .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        round(col("v"), 4).cast(DecimalType(18, 4)).as("mean_val"))
+      .orderBy("label", "dim")
+
+  /** As-of join ([[graft.operators.AsOf]]): each purchase event matched to
+    * the user's most recent signup at or before it. Spark lacks the
+    * operator; DuckDB's native ASOF JOIN is the oracle. */
+  def asofSignup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_event_id"), col("ts").as("signup_ts"))
+    graft.operators.AsOf.asofJoin(
+        purchases, signups, key = "user_id",
+        leftTs = "ts", rightTs = "signup_ts",
+        rightCols = Seq("signup_event_id"))
+      .select(col("event_id"), col("user_id"), col("signup_event_id"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_norm"      -> (embedNorm _),
     "q_cosine_topk"     -> (cosineTopK _),
@@ -85,6 +116,8 @@ object SimilarityQueries {
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_sig"     -> (minhashSignatures _),
     "q_simhash"         -> (simhashFingerprints _),
+    "q_vector_mean"     -> (vectorMeanByLabel _),
+    "q_asof_join"       -> (asofSignup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +147,20 @@ object SimilarityQueries {
                 CAST(round(sim, 6) AS DECIMAL(18,6)) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_vector_mean" ->
+      """SELECT label, i AS dim,
+                CAST(round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS DECIMAL(18,4)) AS mean_val
+         FROM embeddings, range(1, 65) t(i)
+         GROUP BY label, i ORDER BY label, dim""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, s.signup_event_id
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id, event_id AS signup_event_id, CAST(ts AS TIMESTAMP) AS sts
+               FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.sts
+         ORDER BY p.event_id""",
     "q_jaccard_pairs" ->
       """WITH docs AS (
              SELECT doc_id, lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
