@@ -56,7 +56,7 @@ object SimilarityQueries {
   def jaccardTopPairs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     Dedup.jaccardPairs(docs, "doc_id", "text",
-        blockExpr = concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("long")),
+        blockExpr = concat_ws("|", col("lang"), floor(col("n_chars") / 25).cast("long")),
         threshold = 0.0)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).cast(DecimalType(18, 6)).as("jaccard"))
@@ -163,7 +163,7 @@ object SimilarityQueries {
          ORDER BY p.event_id""",
     "q_jaccard_pairs" ->
       """WITH docs AS (
-             SELECT doc_id, lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             SELECT doc_id, lang || '|' || CAST(CAST(floor(n_chars / 25) AS BIGINT) AS VARCHAR) AS block,
                     list_distinct(string_split(text, ' ')) AS w
              FROM documents),
            pairs AS (

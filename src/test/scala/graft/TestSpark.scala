@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog tables (bucketing tests) go to a throwaway warehouse — a
+      // persistent ./spark-warehouse leaks LOCATION_ALREADY_EXISTS across
+      // JVMs (fresh in-memory metastore, surviving directory)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
