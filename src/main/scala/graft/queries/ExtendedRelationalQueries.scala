@@ -88,7 +88,30 @@ object ExtendedRelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Exact interpolated median per group — Spark `percentile` and DuckDB
+    * `quantile_cont` both sort exact values and linearly interpolate, so the
+    * doubles match bit-for-bit (verified); DECIMAL-rounded anyway. */
+  def medianAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
+      .select(col("l_returnflag"),
+        round(col("p50"), 4).cast(DecimalType(18, 4)).as("p50"))
+      .orderBy("l_returnflag")
+
+  /** CUBE: all 2^2 grouping combinations, decimal sums, NULLS FIRST. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sum("price").cast(DecimalType(18, 2)).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_median"         -> (medianAgg _),
+    "q_cube"           -> (cubeAgg _),
     "q_semi_join"      -> (semiJoin _),
     "q_left_join_agg"  -> (leftJoinAgg _),
     "q_rollup"         -> (rollupAgg _),
@@ -99,6 +122,16 @@ object ExtendedRelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_median" ->
+      """SELECT l_returnflag,
+                CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS p50
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

@@ -86,6 +86,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(col("cad_event_number").isNull).count() == 1)
   }
 
+  test("stream-static join enriches the stream with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("911", "EMERGENCY"), ("ONVIEW", "OFFICER_INITIATED"))
+      .toDF("call_type", "category")
+    val input = MemoryStream[String]
+    val enriched = StreamPipeline.decode(input.toDF())
+      .join(broadcast(dim), Seq("call_type"), "left")
+      .select("cad_event_number", "call_type", "category")
+    val q = enriched.writeStream
+      .outputMode("append").format("memory").queryName("enriched_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(record("J1", "911", "1"), record("J2", "ONVIEW", "1"),
+      record("J3", "UNKNOWN_TYPE", "1"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched_out").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out == Map("J1" -> "EMERGENCY", "J2" -> "OFFICER_INITIATED", "J3" -> null))
+  }
+
   test("stateful mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
