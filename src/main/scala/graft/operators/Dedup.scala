@@ -33,15 +33,25 @@ object Dedup {
     df.dropDuplicates(keys)
 
   /** Exact dedup by normalized-text fingerprint: survives whitespace and
-    * punctuation jitter, shuffles 16-byte keys instead of documents. */
-  def exactByFingerprint(df: DataFrame, textCol: String): DataFrame = {
+    * punctuation jitter, shuffles 16-byte keys instead of documents.
+    *
+    * `keepBy`: columns choosing WHICH duplicate survives (e.g. lowest
+    * doc_id) — with it the output is fully deterministic; without it the
+    * survivor falls back to monotonically_increasing_id order (deterministic
+    * row *count*, partitioning-dependent survivor identity — the same
+    * contract as `dropDuplicates`). */
+  def exactByFingerprint(df: DataFrame, textCol: String,
+                         keepBy: Seq[String] = Seq.empty): DataFrame = {
+    val ordered = df
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__tie", monotonically_increasing_id())
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__fp").orderBy(col("__id_for_dedup"))
-    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("__id_for_dedup", monotonically_increasing_id())
+      .partitionBy("__fp")
+      .orderBy((keepBy.map(col) :+ col("__tie")): _*)
+    ordered
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__fp", "__id_for_dedup", "__rn")
+      .drop("__fp", "__tie", "__rn")
   }
 
   /** Per-document MinHash signature (k permutation-mins over word-shingle

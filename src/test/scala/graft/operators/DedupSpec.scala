@@ -32,6 +32,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(2L))
   }
 
+  test("fingerprint dedup with keepBy keeps the lowest doc_id deterministically") {
+    val kept = Dedup.exactByFingerprint(docs, "text", keepBy = Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L)) // 0 survives its {0,1,4} cluster
+  }
+
+  test("minhash signatures are invariant to input partitioning (map-only)") {
+    val a = Dedup.withMinhashSignature(docs, "text")
+      .select("doc_id", "minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Dedup.withMinhashSignature(docs.repartition(7), "text")
+      .select("doc_id", "minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
   test("minhash LSH finds exact and near duplicates, not the unrelated doc") {
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
