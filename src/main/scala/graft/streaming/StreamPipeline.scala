@@ -142,6 +142,17 @@ object StreamPipeline {
         col("call_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** T6 explicit variant (SURVEY §2.8): stream-side dedup by key with a
+    * watermark bounding the state — the in-flight complement of the sink's
+    * last-writer-wins upsert. Without the watermark the key set grows
+    * forever; with it, keys older than the horizon are evicted. */
+  def dedupStream(parsed: DataFrame,
+                  watermark: String = "1 hour",
+                  eventTimeCol: String = "cad_event_original_time_queued"): DataFrame =
+    parsed
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates("cad_event_number", eventTimeCol)
+
   /** Running totals per call_type observed so far. */
   case class CallTypeState(call_type: String, total: Long, batches: Long)
 

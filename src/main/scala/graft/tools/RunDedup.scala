@@ -25,6 +25,9 @@ object RunDedup {
       minhashPairs.orderBy(col("jaccard").desc, col("id_a")).show(10, truncate = false)
       val simhashPairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 6)
       println(s"[dedup] simhash near-dup pairs (hamming<=6): ${simhashPairs.count()}")
+      println("[dedup] deterministic 3-per-lang sample (bottom-k by hash):")
+      graft.operators.Sampling.bottomKByHash(docs, Seq("lang"), col("doc_id"), k = 3)
+        .select("lang", "doc_id").orderBy("lang", "doc_id").show(truncate = false)
     } finally spark.stop()
   }
 }

@@ -45,6 +45,17 @@ object RunStream {
           java.nio.file.Files.createTempDirectory("graft-state-ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
       stateQ.awaitTermination()
+      // watermarked stream dedup (T6 explicit variant) over the same input
+      val dedupQ = StreamPipeline.dedupStream(
+          StreamPipeline.decode(spark.readStream.text(inDir)))
+        .select("cad_event_number")
+        .writeStream.outputMode("append").format("memory").queryName("dedup_keys")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      dedupQ.awaitTermination()
+      println(s"[stream] distinct (key, event-time) records after stream dedup: " +
+        spark.table("dedup_keys").count())
       println("[stream] stateful running totals per call_type:")
       spark.table("stateful_totals")
         .groupBy("call_type").max("total", "batches").show(truncate = false)

@@ -86,6 +86,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(col("cad_event_number").isNull).count() == 1)
   }
 
+  test("watermarked stream dedup drops repeated (key, event-time) records across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val deduped = StreamPipeline.dedupStream(StreamPipeline.decode(input.toDF()))
+      .select("cad_event_number", "call_type")
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(record("D1", "911", "1"), record("D1", "911", "1")) // dup in-batch
+    q.processAllAvailable()
+    input.addData(record("D1", "911", "1"), record("D2", "ONVIEW", "1")) // dup cross-batch
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect().map(_.getString(0)).toSeq.sorted
+    assert(out == Seq("D1", "D2"), s"got $out")
+  }
+
   test("stream-static join enriches the stream with a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
