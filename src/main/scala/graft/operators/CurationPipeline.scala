@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The flagship training-data curation pipeline — the 100 TB use case the
+  * extension operators exist for, composed end-to-end:
+  *
+  *   1. exact dedup on normalized fingerprints (16-byte shuffle keys);
+  *   2. MinHash-LSH near-duplicate removal (keep the lowest doc id of each
+  *      near-dup pair's cluster);
+  *   3. quality gate: stopword ratio + length bounds;
+  *   4. language filter;
+  *   5. token statistics annotation;
+  *   6. deterministic per-language sample (content-hash bottom-k).
+  *
+  * Every stage is declarative; the only shuffles are the fingerprint
+  * groupBy, the LSH band join, and the final per-group sample window.
+  */
+object CurationPipeline {
+
+  case class Config(
+      nearDupThreshold: Double = 0.8,
+      minStopwordBp: Long = 200,      // ≥2% stopwords
+      minChars: Int = 20,
+      maxChars: Int = 100000,
+      keepLangs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
+      samplePerLang: Int = 0)          // 0 = keep all
+
+  /** Returns the curated DataFrame plus per-stage counts (for reporting). */
+  def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      stages += name -> cached.count()
+      cached
+    }
+
+    val input = stage("input", docs)
+
+    val exact = stage("exact_dedup",
+      Dedup.exactByFingerprint(input, "text", keepBy = Seq("doc_id")))
+
+    // near-dup removal: from each (a < b) near-dup pair, drop the higher id
+    val losers = Dedup
+      .minhashNearDuplicates(exact, "doc_id", "text", threshold = cfg.nearDupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val nearDeduped = stage("near_dedup", exact.join(losers, Seq("doc_id"), "left_anti"))
+
+    val quality = stage("quality_gate", nearDeduped
+      .filter(length(col("text")).between(cfg.minChars, cfg.maxChars))
+      .filter(TextFunctions.stopwordRatioBp(col("text")) >= cfg.minStopwordBp))
+
+    val langFiltered = stage("lang_filter",
+      quality.filter(col("lang").isInCollection(cfg.keepLangs)))
+
+    val annotated = langFiltered
+      .withColumn("n_words", TextFunctions.wordCount(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
+
+    val result =
+      if (cfg.samplePerLang > 0)
+        stage("sample", Sampling.bottomKByHash(
+          annotated, Seq("lang"), col("doc_id"), cfg.samplePerLang))
+      else annotated
+
+    (result, stages.toSeq)
+  }
+}
