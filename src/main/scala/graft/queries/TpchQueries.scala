@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.Tables._
+
+/** Classic analytical workloads (TPC-H shapes 1/3/6 transplanted onto the
+  * testdata schema) — the "could a reference user run their analytics here"
+  * proof. Decimal-routed per the oracle float discipline.
+  */
+object TpchQueries {
+
+  private def dec(c: String) = col(c).cast(DecimalType(12, 2))
+
+  /** Q1 shape: big scan, low-cardinality group, many aggregates. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount")))
+          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3 shape: 3-way join + filtered group + top-10 by aggregate. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount")))
+        .cast(DecimalType(18, 4)).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Q6 shape: pure scan-filter-aggregate (the pushdown benchmark). */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast(DecimalType(18, 4)).as("revenue"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch1_pricing"  -> (pricingSummary _),
+    "q_tpch3_shipping" -> (shippingPriority _),
+    "q_tpch6_forecast" -> (forecastRevenue _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    "q_tpch6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+  )
+}
