@@ -40,14 +40,18 @@ object Similarity {
     * per query id is a partial top-k (rank ≤ k filter). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted to one column per vector: cosine() inline would refold
+    // both norms for every (query, candidate) pair — same bits, 2× the work
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv")))
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
     val c = candidates.select(col(idCol).as("candidate_id"),
-      toDouble(col(vecCol)).as("cv"))
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("candidate_id"))
     q.join(c, col("query_id") =!= col("candidate_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "candidate_id", "rank", "sim")
@@ -88,9 +92,10 @@ object Similarity {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("candidate_id"))
-    probes.join(cands, Seq("cell"))
+    probes.withColumn("qn", l2Norm(col("qv")))
+      .join(cands.withColumn("cn", l2Norm(col("cv"))), Seq("cell"))
       .filter(col("query_id") =!= col("candidate_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select("query_id", "candidate_id", "sim")
       .distinct() // a pair may meet in several probed cells
       .withColumn("rank", row_number().over(w))
