@@ -98,6 +98,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Engine-portable MinHash: the xxhash64-based signature above is fastest,
+    * but no other engine can reproduce it. This variant hashes each shingle
+    * with a plain polynomial char fold — `h = (h*31 + codepoint) mod p` —
+    * so the whole signature is expressible in ANSI-ish SQL and the DuckDB
+    * oracle checks it value-for-value (see `q_minhash_arith`). Same
+    * map-only shape: per-row array expressions, no shuffle.
+    *
+    * Published permutation constants (prime pairs), part of the contract. */
+  val arithPerms: Seq[(Long, Long)] = Seq(
+    (1299721L, 7L), (15485863L, 11L), (32452843L, 13L), (49979687L, 17L),
+    (67867967L, 19L), (86028121L, 23L), (104395301L, 29L), (122949823L, 31L))
+
+  /** Polynomial hash of a string column: fold chars, (h*31 + code) mod p.
+    * Starts at 0, so engines whose fold seeds with the first element agree
+    * (0*31 + c1 = c1). */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (h, c) => pmod(h * lit(31L) + ascii(c), lit(Prime)))
+
+  /** One column per permutation: min over shingle poly-hashes. */
+  def arithMinhashColumns(textCol: Column, shingleN: Int = 3): Seq[Column] = {
+    val hashes = transform(TextFunctions.wordShingles(textCol, shingleN), polyHash(_))
+    arithPerms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(Prime))))
+        .as(s"sig_$i")
+    }
+  }
+
   /** 64-bit SimHash over word hashes — row-local (array fold, no shuffle).
     * Near-duplicates are pairs within small Hamming distance. Tokens are NOT
     * deduplicated: term frequency is the simhash weight (on low-entropy

@@ -24,7 +24,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val salts = explode(sequence(lit(0), lit(saltFactor - 1)))
     val saltedSmall = small.withColumn("__salt", salts)
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
@@ -38,7 +38,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 8): DataFrame =
     df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+        pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

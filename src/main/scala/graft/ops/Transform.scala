@@ -53,7 +53,7 @@ object Transform {
 
   /** P3 (`transform.py:119-128`): rename-all to snake_case. */
   def renameColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(toSnakeCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(toSnakeCase): _*)
 
   /** E4 (`transform.py:25-39`): two-arm conditional fill of at-scene time. */
   def fillCallSignAtSceneTime(df: DataFrame): DataFrame =

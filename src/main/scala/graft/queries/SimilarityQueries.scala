@@ -72,6 +72,14 @@ object SimilarityQueries {
       .select(col("doc_id"), col("minhash_sig"), col("band_keys"))
       .orderBy("doc_id")
 
+  /** Engine-portable MinHash signature — fully oracle-checked: the shingle
+    * hash is a polynomial char fold both engines express, the 8 permutation
+    * constants are published in [[Dedup.arithPerms]]. */
+  def minhashArith(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id") +: Dedup.arithMinhashColumns(col("text")): _*)
+      .orderBy("doc_id")
+
   /** SimHash 64-bit fingerprints (rows-only, same reason). */
   def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -115,6 +123,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_sig"     -> (minhashSignatures _),
+    "q_minhash_arith"   -> (minhashArith _),
     "q_simhash"         -> (simhashFingerprints _),
     "q_vector_mean"     -> (vectorMeanByLabel _),
     "q_asof_join"       -> (asofSignup _),
@@ -147,6 +156,29 @@ object SimilarityQueries {
                 CAST(round(sim, 6) AS DECIMAL(18,6)) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_minhash_arith" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                       ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                              i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) END) AS shingles
+           FROM documents),
+           hs AS (
+             SELECT doc_id,
+                    list_transform(shingles,
+                      s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+                                       (h, c) -> (h * 31 + c) % 2147483647)) AS hashes
+             FROM sh)
+         SELECT doc_id,
+                list_min(list_transform(hashes, h -> (h * 1299721 + 7) % 2147483647)) AS sig_0,
+                list_min(list_transform(hashes, h -> (h * 15485863 + 11) % 2147483647)) AS sig_1,
+                list_min(list_transform(hashes, h -> (h * 32452843 + 13) % 2147483647)) AS sig_2,
+                list_min(list_transform(hashes, h -> (h * 49979687 + 17) % 2147483647)) AS sig_3,
+                list_min(list_transform(hashes, h -> (h * 67867967 + 19) % 2147483647)) AS sig_4,
+                list_min(list_transform(hashes, h -> (h * 86028121 + 23) % 2147483647)) AS sig_5,
+                list_min(list_transform(hashes, h -> (h * 104395301 + 29) % 2147483647)) AS sig_6,
+                list_min(list_transform(hashes, h -> (h * 122949823 + 31) % 2147483647)) AS sig_7
+         FROM hs ORDER BY doc_id""",
     "q_vector_mean" ->
       """SELECT label, i AS dim,
                 CAST(round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS DECIMAL(18,4)) AS mean_val
