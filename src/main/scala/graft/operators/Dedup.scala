@@ -144,6 +144,25 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Engine-portable 32-bit SimHash (the arithmetic-hash sibling of
+    * [[arithMinhashColumns]]): word hashes via [[polyHash]], frequency-
+    * weighted bit sums, sign → bit. Every operation (fold, shift, and, or)
+    * is plain SQL — `q_simhash_arith` checks it value-for-value in DuckDB.
+    * The xxhash64 64-bit [[simhash64]] stays as the fast path. */
+  def arithSimhash32(textCol: Column): Column = {
+    val bits = 32
+    val hashes = transform(split(textCol, " "), polyHash(_))
+    val zeros = transform(sequence(lit(0), lit(bits - 1)), _ => lit(0L))
+    val sums = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(bits - 1)), (a, bit) =>
+        a + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(bits - 1)), (s, bit) =>
+        when(s > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))

@@ -57,20 +57,49 @@ object Similarity {
       .select("query_id", "candidate_id", "rank", "sim")
   }
 
+  /** K-means centroid refinement for IVF cells: seed with the numCentroids
+    * lowest-id vectors (deterministic), then `iters` rounds of
+    * assign-to-nearest + per-cell mean via the distributed
+    * [[graft.functions.VectorAgg.VectorMean]] aggregator. Each round is one
+    * broadcast + one shuffle of (cell, 64-double partial buffers) — scales
+    * to any corpus size. Empty cells keep their previous centroid. */
+  def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int,
+                      dim: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("v"))
+    var centroids = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = v.join(broadcast(centroids))
+        .withColumn("__csim", cosine(col("v"), col("centroid")))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy("__id").orderBy(col("__csim").desc, col("cell_id"))))
+        .filter(col("__r") === 1)
+      val means = assigned.groupBy("cell_id")
+        .agg(graft.functions.VectorAgg.vector_mean(dim)(
+          transform(col("v"), _.cast("float"))).as("new_centroid"))
+      centroids = centroids.join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+    }
+    centroids
+  }
+
   /** IVF-style ANN: coarse-quantize candidates to their nearest centroid
     * (deterministic centroid choice: the numCentroids lowest-id vectors —
-    * swap in k-means outside if desired), then search each query only inside
-    * its nprobe nearest cells.
+    * swap in k-means via [[kmeansCentroids]] for better recall), then search
+    * each query only inside its nprobe nearest cells.
     *
     * One shuffle to bucket candidates, one broadcast of centroid probes;
     * at scale the candidate table can be *written bucketed* by cell id so
     * repeated queries skip the assignment pass entirely. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val centroids = broadcast(centroidsOverride.getOrElse(
       vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
 
     def nearestCells(df: DataFrame, vec: String, n: Int, out: String): DataFrame = {
       val w = Window.partitionBy("__vid").orderBy(col("__csim").desc, col("cell_id"))

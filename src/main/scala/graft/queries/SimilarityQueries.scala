@@ -86,6 +86,27 @@ object SimilarityQueries {
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Engine-portable 32-bit SimHash — fully oracle-checked (the oracle SQL
+    * is generated per bit below). */
+  def simhashArith(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Dedup.arithSimhash32(col("text")).as("simhash32"))
+      .orderBy("doc_id")
+
+  private val simhashArithOracle: String = {
+    val bitTerms = (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH hs AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                   s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+                                    (h, c) -> (h * 31 + c) % 2147483647)) AS hashes
+          FROM documents)
+        SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash32
+        FROM hs ORDER BY doc_id"""
+  }
+
   /** Per-label embedding centroid via the custom typed Aggregator
     * ([[graft.functions.VectorAgg.VectorMean]]), exploded to (label, dim,
     * value) rows so the oracle hashes scalars, not float lists. round(4)
@@ -124,6 +145,7 @@ object SimilarityQueries {
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_sig"     -> (minhashSignatures _),
     "q_minhash_arith"   -> (minhashArith _),
+    "q_simhash_arith"   -> (simhashArith _),
     "q_simhash"         -> (simhashFingerprints _),
     "q_vector_mean"     -> (vectorMeanByLabel _),
     "q_asof_join"       -> (asofSignup _),
@@ -156,6 +178,7 @@ object SimilarityQueries {
                 CAST(round(sim, 6) AS DECIMAL(18,6)) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_simhash_arith" -> simhashArithOracle,
     "q_minhash_arith" ->
       """WITH sh AS (
            SELECT doc_id,

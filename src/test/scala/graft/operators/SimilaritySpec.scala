@@ -46,6 +46,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
   }
 
+  test("k-means-refined centroids keep or improve IVF recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    def recall(c: Option[org.apache.spark.sql.DataFrame]) = {
+      val approx = pairs(Similarity.ivfTopK(emb, queries, k = 5,
+        numCentroids = 16, nprobe = 4, centroidsOverride = c))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val seeded = recall(None)
+    val refined = recall(Some(
+      Similarity.kmeansCentroids(emb, numCentroids = 16, iters = 2, dim = 64)))
+    assert(refined >= seeded - 0.11,
+      s"kmeans recall $refined collapsed vs seeded $seeded")
+    assert(refined > 0.4, s"kmeans recall too low: $refined")
+  }
+
   test("embedding near-duplicate detection finds planted duplicates") {
     import spark.implicits._
     val base = Array.tabulate(8)(i => (i + 1).toFloat)
