@@ -109,7 +109,29 @@ object ExtendedRelationalQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Collect-and-sort aggregation: deterministic listagg equivalent
+    * (collect_set → array_sort → array_join works in both engines). */
+  def collectAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        array_join(array_sort(collect_set(col("l_linenumber").cast("string"))), ",").as("linenos"))
+      .orderBy("l_returnflag")
+
+  /** arg-max / arg-min family: value of one column at another's extreme
+    * (deterministic: the ordering column o_orderkey is unique). */
+  def argMinMax(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        max(col("o_orderkey")).as("last_order"))
+      .orderBy("o_custkey")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collect_agg"    -> (collectAgg _),
+    "q_arg_minmax"     -> (argMinMax _),
     "q_median"         -> (medianAgg _),
     "q_cube"           -> (cubeAgg _),
     "q_semi_join"      -> (semiJoin _),
@@ -122,6 +144,17 @@ object ExtendedRelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_collect_agg" ->
+      """SELECT l_returnflag,
+                array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+                array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',') AS linenos
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_arg_minmax" ->
+      """SELECT o_custkey,
+                arg_max(o_orderstatus, o_orderkey) AS latest_status,
+                arg_min(o_orderstatus, o_orderkey) AS first_status,
+                max(o_orderkey) AS last_order
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_median" ->
       """SELECT l_returnflag,
                 CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS p50
