@@ -22,6 +22,11 @@ object Dedup {
 
   private val Prime: Long = 2147483647L // 2^31 - 1 (Mersenne)
 
+  /** Default signature length / band count (published contract, used by the
+    * declared query surface to size its flattened output columns). */
+  val defaultNumHashes: Int = 16
+  val defaultNumBands: Int = 4
+
   /** Deterministic (a, b) parameters for the k permutation hashes. */
   private def perms(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
@@ -82,17 +87,25 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.7, k: Int = 16,
                             bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // Candidate stage carries ONLY (band, id): the band-key shuffle and the
+    // pair-dedup never touch shingle arrays, so at corpus scale the shuffle
+    // payload is ids × bands, not documents × bands.
     val sigs = withBandKeys(withMinhashSignature(df, textCol, k, shingleN), k, bands)
-      .select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"),
-        col("band_keys"))
-    val exploded = sigs.select(col("id"), col("shingles"), explode(col("band_keys")).as("band"))
-    val a = exploded.select(col("band"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = exploded.select(col("band"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band"))
+      .select(col(idCol).as("id"), col("band_keys"))
+    val exploded = sigs.select(col("id"), explode(col("band_keys")).as("band"))
+    val a = exploded.select(col("band"), col("id").as("id_a"))
+    val b = exploded.select(col("band"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .distinct() // a pair may collide in several bands
+      .select("id_a", "id_b")
+      .distinct() // a pair may collide in several bands; dedup on 16-byte keys
+    // Verification stage: join the (rare) candidate pairs back to the corpus
+    // once per side for the exact-Jaccard check.
+    val shingles = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+    candidates
+      .join(shingles.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -185,15 +198,22 @@ object Dedup {
   }
 
   /** Blocked pairwise n-gram (word-set) Jaccard — the verify-everything
-    * baseline for corpora small enough to pair within blocks. */
+    * baseline for corpora small enough to pair within blocks.
+    *
+    * Scale shape: `J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)`, so a cheap
+    * length-ratio prefilter (`least ≥ t·greatest`) prunes most in-block
+    * pairs BEFORE the exact set-intersection runs — the O(block²) exact
+    * Jaccard work collapses to the pairs that could possibly pass. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double): DataFrame = {
     val prepared = df.select(col(idCol).as("id"), blockExpr.as("block"),
       TextFunctions.words(col(textCol)).as("w"))
-    val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"))
-    val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"))
+      .withColumn("n", size(col("w")))
+    val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a"))
+    val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", TextFunctions.jaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -43,7 +43,7 @@ object ExtendedRelationalQueries {
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast(DecimalType(12, 2)).as("qty"))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum("qty").cast(DecimalType(18, 2)).as("sum_qty"))
+      .agg(sum("qty").cast(DecimalType(18, 2)).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Exact distinct-count aggregate (the reference's closest is A1+A2). */
@@ -84,7 +84,7 @@ object ExtendedRelationalQueries {
         col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
       .withColumn("cust_avg", avg("price").over(w))
       .filter(col("price") > col("cust_avg"))
-      .select("o_orderkey", "o_custkey", "price")
+      .select(col("o_orderkey"), col("o_custkey"), col("price").cast("double").as("price"))
       .orderBy("o_orderkey")
   }
 
@@ -96,7 +96,7 @@ object ExtendedRelationalQueries {
       .groupBy("l_returnflag")
       .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
       .select(col("l_returnflag"),
-        round(col("p50"), 4).cast(DecimalType(18, 4)).as("p50"))
+        round(col("p50"), 4).cast(DecimalType(18, 4)).cast("double").as("p50"))
       .orderBy("l_returnflag")
 
   /** CUBE: all 2^2 grouping combinations, decimal sums, NULLS FIRST. */
@@ -105,7 +105,7 @@ object ExtendedRelationalQueries {
       .select(col("o_orderstatus"), col("o_orderpriority"),
         col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(sum("price").cast(DecimalType(18, 2)).as("sum_price"))
+      .agg(sum("price").cast(DecimalType(18, 2)).cast("double").as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
@@ -157,11 +157,11 @@ object ExtendedRelationalQueries {
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_median" ->
       """SELECT l_returnflag,
-                CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS p50
+                CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS p50
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
@@ -179,7 +179,7 @@ object ExtendedRelationalQueries {
          ORDER BY c_custkey""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -197,7 +197,7 @@ object ExtendedRelationalQueries {
       """SELECT l_suppkey, count(*) AS n_items FROM lineitem
          GROUP BY l_suppkey HAVING count(*) > 100 ORDER BY l_suppkey""",
     "q_above_cust_avg" ->
-      """SELECT o_orderkey, o_custkey, price FROM (
+      """SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price FROM (
            SELECT o_orderkey, o_custkey,
                   CAST(o_totalprice AS DECIMAL(12,2)) AS price,
                   avg(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS cust_avg

@@ -74,12 +74,12 @@ object FunctionQueries {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 6).cast(DecimalType(18, 6)).as("first"),
-        round(element_at(col("embedding"), -1).cast("double"), 6).cast(DecimalType(18, 6)).as("last"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).cast(DecimalType(18, 6)).cast("double").as("first"),
+        round(element_at(col("embedding"), -1).cast("double"), 6).cast(DecimalType(18, 6)).cast("double").as("last"),
         round(aggregate(slice(col("embedding"), 1, 4),
-          lit(0.0), (acc, x) => acc + x.cast("double")), 6).cast(DecimalType(18, 6)).as("head4_sum"),
+          lit(0.0), (acc, x) => acc + x.cast("double")), 6).cast(DecimalType(18, 6)).cast("double").as("head4_sum"),
         round(array_max(transform(col("embedding"), x => x.cast("double"))), 6)
-          .cast(DecimalType(18, 6)).as("vmax"))
+          .cast(DecimalType(18, 6)).cast("double").as("vmax"))
       .orderBy("vec_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -129,11 +129,11 @@ object FunctionQueries {
     "q_array_funcs" ->
       """SELECT vec_id,
                 len(embedding) AS dim,
-                CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DECIMAL(18,6)) AS first,
-                CAST(round(CAST(embedding[-1] AS DOUBLE), 6) AS DECIMAL(18,6)) AS last,
-                CAST(round(list_reduce(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
-                                       (a,b) -> a + b), 6) AS DECIMAL(18,6)) AS head4_sum,
-                CAST(round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS DECIMAL(18,6)) AS vmax
+                CAST(CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE) AS first,
+                CAST(CAST(round(CAST(embedding[-1] AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE) AS last,
+                CAST(CAST(round(list_reduce(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+                                       (a,b) -> a + b), 6) AS DECIMAL(18,6)) AS DOUBLE) AS head4_sum,
+                CAST(CAST(round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS DECIMAL(18,6)) AS DOUBLE) AS vmax
          FROM embeddings ORDER BY vec_id""",
   )
 }

@@ -51,6 +51,7 @@ object RelationalQueries {
         col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
       .orderBy(col("price").desc, col("o_orderkey"))
       .limit(25)
+      .withColumn("price", col("price").cast("double"))
 
   /** P1 (`load.py:99-173`): fixed star-table column projection. Column pruning
     * reaches the parquet scan (ReadSchema shows only these 4 columns). */
@@ -101,7 +102,7 @@ object RelationalQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum("rev").cast(DecimalType(18, 4)).as("revenue"))
+      .agg(sum("rev").cast(DecimalType(18, 4)).cast("double").as("revenue"))
       .orderBy("n_name")
   }
 
@@ -134,7 +135,7 @@ object RelationalQueries {
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
     "q_topk" ->
-      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders ORDER BY price DESC, o_orderkey LIMIT 25",
+      "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price FROM orders ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey LIMIT 25",
     "q_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_drop_columns" ->
@@ -144,7 +145,7 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM events x WHERE x.event_type = 'error' AND x.value > 190 AND x.user_id = e.user_id)
          GROUP BY event_type ORDER BY event_type""",
     "q_star_join" ->
-      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+      """SELECT n_name, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

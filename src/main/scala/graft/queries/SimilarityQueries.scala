@@ -12,10 +12,12 @@ import graft.util.Tables._
   *
   * Float discipline for the oracle: embeddings widen float→double
   * elementwise (exact), dot/norm fold sequentially in array order in both
-  * engines → bit-identical doubles; outputs round through DECIMAL.
+  * engines → bit-identical doubles; outputs round through DECIMAL then land
+  * as double so both engines reach the comparator as float64.
   * MinHash/SimHash signatures hash with Spark's xxhash64, which DuckDB
-  * doesn't implement — those two queries are declared without oracle SQL
-  * (rows-only check) and verified by crafted-duplicate ScalaTest instead. */
+  * doesn't implement — those operators stay library-+-ScalaTest only
+  * ([[minhashSignatures]], [[simhashFingerprints]]); the declared query
+  * surface uses the engine-portable arith variants instead. */
 object SimilarityQueries {
 
   /** L2 norms — the numeric-parity canary for the whole embedding family. */
@@ -26,7 +28,7 @@ object SimilarityQueries {
         Similarity.l2Norm(Similarity.toDouble(col("embedding")))
           .as("l2_norm"))
       .select(col("vec_id"),
-        round(col("l2_norm"), 6).cast(DecimalType(18, 6)).as("l2_norm"))
+        round(col("l2_norm"), 6).cast(DecimalType(18, 6)).cast("double").as("l2_norm"))
       .orderBy("vec_id")
 
   /** Brute-force cosine top-5 for the 8 lowest-id query vectors. */
@@ -35,7 +37,7 @@ object SimilarityQueries {
     val queries = emb.filter(col("vec_id") < 8)
     Similarity.bruteForceTopK(queries, emb, k = 5)
       .select(col("query_id"), col("candidate_id"), col("rank"),
-        round(col("sim"), 6).cast(DecimalType(18, 6)).as("sim"))
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -46,31 +48,39 @@ object SimilarityQueries {
     val emb = embeddings(s, d)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
       .select(col("query_id"), col("candidate_id"), col("rank"),
-        round(col("sim"), 6).cast(DecimalType(18, 6)).as("sim"))
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
       .orderBy("query_id", "rank")
   }
 
   /** Blocked pairwise word-set Jaccard: top-50 most similar document pairs
     * within (lang, length-bucket) blocks — n-gram Jaccard near-dup surface,
-    * fully oracle-checkable (no hash functions involved). */
+    * fully oracle-checkable (no hash functions involved). A real threshold
+    * (with the operator's length-ratio prefilter) keeps the pair stage
+    * sub-quadratic; threshold 0.2 is the near-dup floor. */
   def jaccardTopPairs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     Dedup.jaccardPairs(docs, "doc_id", "text",
         blockExpr = concat_ws("|", col("lang"), floor(col("n_chars") / 25).cast("long")),
-        threshold = 0.0)
+        threshold = 0.2)
       .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).cast(DecimalType(18, 6)).as("jaccard"))
+        round(col("jaccard"), 6).cast(DecimalType(18, 6)).cast("double").as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(50)
   }
 
-  /** MinHash signatures + band keys per doc (rows-only: xxhash64 has no
-    * DuckDB twin). Near-dup *pair* extraction is covered by DedupSpec with
-    * crafted duplicates. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+  /** MinHash signatures + band keys per doc, flattened to scalar columns
+    * (xxhash64 has no DuckDB twin, so this stays library-+-ScalaTest only;
+    * the declared minhash query surface is [[minhashArith]]). Near-dup
+    * *pair* extraction is covered by DedupSpec with crafted duplicates. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 until Dedup.defaultNumHashes)
+      .map(i => element_at(col("minhash_sig"), i + 1).as(s"sig_$i"))
+    val bandCols = (0 until Dedup.defaultNumBands)
+      .map(i => xxhash64(element_at(col("band_keys"), i + 1)).as(s"band_$i"))
     Dedup.withBandKeys(Dedup.withMinhashSignature(documents(s, d), "text"))
-      .select(col("doc_id"), col("minhash_sig"), col("band_keys"))
+      .select(col("doc_id") +: (sigCols ++ bandCols): _*)
       .orderBy("doc_id")
+  }
 
   /** Engine-portable MinHash signature — fully oracle-checked: the shingle
     * hash is a polynomial char fold both engines express, the 8 permutation
@@ -80,7 +90,8 @@ object SimilarityQueries {
       .select(col("doc_id") +: Dedup.arithMinhashColumns(col("text")): _*)
       .orderBy("doc_id")
 
-  /** SimHash 64-bit fingerprints (rows-only, same reason). */
+  /** SimHash 64-bit fingerprints (library-+-ScalaTest only, same reason;
+    * the declared simhash query surface is [[simhashArith]]). */
   def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -118,7 +129,7 @@ object SimilarityQueries {
       .agg(graft.functions.VectorAgg.vector_mean(64)(col("embedding")).as("mean_vec"))
       .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "v")))
       .select(col("label"), (col("pos") + 1).as("dim"),
-        round(col("v"), 4).cast(DecimalType(18, 4)).as("mean_val"))
+        round(col("v"), 4).cast(DecimalType(18, 4)).cast("double").as("mean_val"))
       .orderBy("label", "dim")
 
   /** As-of join ([[graft.operators.AsOf]]): each purchase event matched to
@@ -143,10 +154,8 @@ object SimilarityQueries {
     "q_cosine_topk"     -> (cosineTopK _),
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
-    "q_minhash_sig"     -> (minhashSignatures _),
     "q_minhash_arith"   -> (minhashArith _),
     "q_simhash_arith"   -> (simhashArith _),
-    "q_simhash"         -> (simhashFingerprints _),
     "q_vector_mean"     -> (vectorMeanByLabel _),
     "q_asof_join"       -> (asofSignup _),
   )
@@ -154,9 +163,9 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "q_embed_norm" ->
       """SELECT vec_id,
-                CAST(round(sqrt(list_reduce(list_transform(embedding,
+                CAST(CAST(round(sqrt(list_reduce(list_transform(embedding,
                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                     (a, b) -> a + b)), 6) AS DECIMAL(18,6)) AS l2_norm
+                     (a, b) -> a + b)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l2_norm
          FROM embeddings ORDER BY vec_id""",
     "q_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -175,7 +184,7 @@ object SimilarityQueries {
                      sim
               FROM sims)
          SELECT query_id, candidate_id, rank,
-                CAST(round(sim, 6) AS DECIMAL(18,6)) AS sim
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
     "q_simhash_arith" -> simhashArithOracle,
@@ -204,7 +213,7 @@ object SimilarityQueries {
          FROM hs ORDER BY doc_id""",
     "q_vector_mean" ->
       """SELECT label, i AS dim,
-                CAST(round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS DECIMAL(18,4)) AS mean_val
+                CAST(CAST(round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS mean_val
          FROM embeddings, range(1, 65) t(i)
          GROUP BY label, i ORDER BY label, dim""",
     "q_asof_join" ->
@@ -226,7 +235,8 @@ object SimilarityQueries {
                     (len(a.w) + len(b.w) - len(list_distinct(list_concat(a.w, b.w))))
                     / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) AS jaccard
              FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(round(jaccard, 6) AS DECIMAL(18,6)) AS jaccard
-         FROM pairs ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+         SELECT id_a, id_b, CAST(CAST(round(jaccard, 6) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+         FROM pairs WHERE jaccard >= 0.2
+         ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
   )
 }

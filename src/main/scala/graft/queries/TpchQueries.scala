@@ -7,7 +7,10 @@ import graft.util.Tables._
 
 /** Classic analytical workloads (TPC-H shapes 1/3/6 transplanted onto the
   * testdata schema) — the "could a reference user run their analytics here"
-  * proof. Decimal-routed per the oracle float discipline.
+  * proof. Internal arithmetic is decimal-exact so Spark and DuckDB sum
+  * identically; every FINAL output column is cast to double so both engines
+  * reach the comparator as float64 (Decimal('x.00') vs float 'x.0' would
+  * otherwise hash differently despite equal values).
   */
 object TpchQueries {
 
@@ -19,10 +22,10 @@ object TpchQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec("l_quantity")).cast(DecimalType(18, 2)).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).cast("double").as("sum_base_price"),
         sum(dec("l_extendedprice") * (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount")))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast(DecimalType(18, 4)).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -35,7 +38,7 @@ object TpchQueries {
       .filter(col("l_shipdate") > lit("1995-03-15"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec("l_extendedprice") * (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount")))
-        .cast(DecimalType(18, 4)).as("revenue"))
+        .cast(DecimalType(18, 4)).cast("double").as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"), col("revenue"))
@@ -49,7 +52,7 @@ object TpchQueries {
       .filter(col("l_discount").between(0.05, 0.07))
       .filter(col("l_quantity") < 24)
       .agg(sum(dec("l_extendedprice") * dec("l_discount"))
-        .cast(DecimalType(18, 4)).as("revenue"))
+        .cast(DecimalType(18, 4)).cast("double").as("revenue"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch1_pricing"  -> (pricingSummary _),
@@ -60,10 +63,10 @@ object TpchQueries {
   val oracle: Map[String, String] = Map(
     "q_tpch1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -71,8 +74,8 @@ object TpchQueries {
          ORDER BY l_returnflag, l_linestatus""",
     "q_tpch3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders   ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -83,7 +86,7 @@ object TpchQueries {
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
     "q_tpch6_forecast" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS revenue
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07

@@ -34,7 +34,7 @@ object WindowQueries {
       .select(
         col("event_id"), col("user_id"),
         sum(col("value").cast(DecimalType(12, 2))).over(w)
-          .cast(DecimalType(18, 2)).as("running_value"))
+          .cast(DecimalType(18, 2)).cast("double").as("running_value"))
       .orderBy("event_id")
   }
 
@@ -87,9 +87,9 @@ object WindowQueries {
          FROM events ORDER BY event_id""",
     "q_window_running" ->
       """SELECT event_id, user_id,
-                CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_value
          FROM events ORDER BY event_id""",
     "q_window_topk" ->
       """SELECT * FROM (

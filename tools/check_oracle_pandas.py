@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Emulate the driver's pandas-path correctness compare (the one that
+canonicalizes Spark parquet Decimals as Decimal('x.00') while DuckDB results
+arrive float64 — the round-1 hash-fail root cause).
+
+Spark side: pandas.read_parquet on Verify's dump.
+Oracle side: duckdb .df() on the same oracle SQL.
+Compare: sort columns by name, sort rows by all columns, str()-hash cells.
+
+Usage: python3 tools/check_oracle_pandas.py [outDir] [sfDir]
+Dev tooling only — not part of the shipped Scala library.
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def df_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for _, row in df.iterrows():
+        h.update("|".join(str(v) for v in row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    try:
+        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        want = canon(con.execute(oracle[name]).df())
+    except Exception as e:
+        print(f"ERR  {name}: {type(e).__name__}: {e}")
+        n_fail += 1
+        continue
+    problems = []
+    if list(got.columns) != list(want.columns):
+        problems.append(f"cols {list(got.columns)} vs {list(want.columns)}")
+    elif len(got) != len(want):
+        problems.append(f"rows {len(got)} vs {len(want)}")
+    elif df_hash(got) != df_hash(want):
+        problems.append("hash mismatch")
+        for i in range(len(got)):
+            g = [str(v) for v in got.iloc[i]]
+            w = [str(v) for v in want.iloc[i]]
+            if g != w:
+                problems.append(f"first diff row {i}: {g} vs {w}")
+                break
+    if problems:
+        print(f"FAIL {name}: " + "; ".join(problems))
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+
+declared = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+rows_only = declared - set(oracle)
+for name in sorted(rows_only):
+    n = len(pd.concat([pd.read_parquet(f)
+                       for f in glob.glob(f"{out_dir}/{name}/*.parquet")]))
+    print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+
+print(f"\n{n_pass} pass / {n_fail} fail / {len(rows_only)} rows-only")
+sys.exit(1 if n_fail else 0)
