@@ -54,6 +54,16 @@ object TextFunctions {
     interSize.cast("double") / unionSize.cast("double")
   }
 
+  /** Jaccard of two pre-SORTED pre-deduplicated arrays via the custom
+    * merge-intersection expression ([[graft.expr.SortedIntersectSize]]) —
+    * same exact value as [[jaccard]], but with zero per-pair allocation.
+    * Sort each side ONCE (per document, before the pair join), not per pair:
+    * that is the entire point. */
+  def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = graft.expr.SortedIntersectSize.sorted_intersect_size(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
   /** Stopword-hit ratio of the word sequence, in basis points with floor
     * division (integer arithmetic → exact cross-engine parity). Low stopword
     * ratio on natural-language text is a classic quality signal. */

@@ -100,13 +100,14 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct() // a pair may collide in several bands; dedup on 16-byte keys
     // Verification stage: join the (rare) candidate pairs back to the corpus
-    // once per side for the exact-Jaccard check.
+    // once per side for the exact-Jaccard check. Shingle arrays are sorted
+    // once per document so each pair verifies with an allocation-free merge.
     val shingles = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+      array_sort(TextFunctions.wordShingles(col(textCol), shingleN)).as("shingles"))
     candidates
       .join(shingles.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextFunctions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -200,21 +201,24 @@ object Dedup {
   /** Blocked pairwise n-gram (word-set) Jaccard — the verify-everything
     * baseline for corpora small enough to pair within blocks.
     *
-    * Scale shape: `J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)`, so a cheap
-    * length-ratio prefilter (`least ≥ t·greatest`) prunes most in-block
-    * pairs BEFORE the exact set-intersection runs — the O(block²) exact
-    * Jaccard work collapses to the pairs that could possibly pass. */
+    * Scale shape, two cheap prunes before any exact set work:
+    *   - `J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)` → a length-ratio prefilter
+    *     (`least ≥ t·greatest`) discards size-mismatched pairs;
+    *   - surviving pairs are scored by [[TextFunctions.sortedJaccard]]: the
+    *     word set is sorted ONCE per document, so each of the O(block²)
+    *     pairs costs a single allocation-free merge scan instead of a
+    *     hash-set union. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double): DataFrame = {
     val prepared = df.select(col(idCol).as("id"), blockExpr.as("block"),
-      TextFunctions.words(col(textCol)).as("w"))
+      array_sort(TextFunctions.words(col(textCol))).as("w"))
       .withColumn("n", size(col("w")))
     val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a"))
     val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
-      .withColumn("jaccard", TextFunctions.jaccard(col("w_a"), col("w_b")))
+      .withColumn("jaccard", TextFunctions.sortedJaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

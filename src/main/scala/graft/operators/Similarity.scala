@@ -57,32 +57,84 @@ object Similarity {
       .select("query_id", "candidate_id", "rank", "sim")
   }
 
+  /** Driver-collected centroid list `(cell_id, centroid, norm)`. The coarse
+    * quantizer is small by construction (C ≤ a few hundred cells even at
+    * petabyte corpus scale — cells partition the corpus, they don't grow
+    * with it), so the centroid table lives on the driver exactly as MLlib's
+    * k-means keeps its cluster centers: collecting C rows is O(C·dim), and
+    * in exchange nearest-cell *assignment* becomes a per-row codegen
+    * expression — zero joins, zero shuffles, zero windows over the corpus. */
+  private def collectCells(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    centroids.select(col("cell_id").cast("long"), col("centroid"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        // same left-fold order as l2Norm, so the bits match the SQL side
+        (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
+      .sortBy(_._1).toSeq
+
+  /** The centroid list as ONE literal node (array<struct<id,vec,norm>>) —
+    * a single `typedlit`, not C×dim scattered `lit`s, so the codegen'd
+    * assignment expression stays small regardless of C. */
+  private def cellsLiteral(cells: Seq[(Long, Seq[Double], Double)]): Column =
+    typedlit(cells)
+
+  /** Map-only nearest-cell assignment: cosine against every centroid in the
+    * literal array, then argmax via `array_max` (n=1) or `array_sort` +
+    * `slice` + `explode` (n>1) — all row-local expressions. Tie-break:
+    * lowest cell_id (the same ordering the old window-based ranking used).
+    * Adds column `out` with the assigned cell id(s). */
+  private def withNearestCells(df: DataFrame, cells: Column, vec: String,
+                               n: Int, out: String): DataFrame = {
+    // cell score = dot/centroid-norm: the row's own norm scales every cell
+    // equally, so dividing by it cannot change the argmax — skip the fold
+    // struct fields: _1 = cell_id, _2 = centroid, _3 = centroid norm
+    val sims = transform(cells, c =>
+      struct((dot(col(vec), c.getField("_2")) / c.getField("_3")).as("csim"),
+        c.getField("_1").as("cell_id")))
+    if (n == 1) {
+      // argmax = array_max over (csim, -cell_id): highest sim, lowest id
+      val best = array_max(transform(sims, s =>
+        struct(s.getField("csim").as("csim"), (-s.getField("cell_id")).as("negid"))))
+      df.withColumn(out, -best.getField("negid"))
+    } else {
+      val ordered = slice(array_sort(transform(sims, s =>
+        struct((-s.getField("csim")).as("negsim"), s.getField("cell_id").as("cell_id")))),
+        1, n)
+      df.withColumn(out, explode(transform(ordered, s => s.getField("cell_id"))))
+    }
+  }
+
   /** K-means centroid refinement for IVF cells: seed with the numCentroids
-    * lowest-id vectors (deterministic), then `iters` rounds of
+    * lowest-id vectors (deterministic), then `iters` rounds of map-only
     * assign-to-nearest + per-cell mean via the distributed
-    * [[graft.functions.VectorAgg.VectorMean]] aggregator. Each round is one
-    * broadcast + one shuffle of (cell, 64-double partial buffers) — scales
-    * to any corpus size. Empty cells keep their previous centroid. */
+    * [[graft.functions.VectorAgg.VectorMean]] aggregator. Each round's only
+    * shuffle is the per-cell partial-buffer aggregation (C · dim doubles);
+    * the corpus itself is never joined, windowed, or re-shuffled. Empty
+    * cells keep their previous centroid. Centroid state lives on the driver
+    * between rounds (C rows — the MLlib k-means shape). */
   def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int,
                       dim: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("v"))
-    var centroids = vectors.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(toDouble(col(vecCol)).as("v"))
+    var cells = collectCells(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     for (_ <- 0 until iters) {
-      val assigned = v.join(broadcast(centroids))
-        .withColumn("__csim", cosine(col("v"), col("centroid")))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy("__id").orderBy(col("__csim").desc, col("cell_id"))))
-        .filter(col("__r") === 1)
-      val means = assigned.groupBy("cell_id")
+      val means = withNearestCells(v, cellsLiteral(cells), "v", 1, "cell_id")
+        .groupBy("cell_id")
         .agg(graft.functions.VectorAgg.vector_mean(dim)(
-          transform(col("v"), _.cast("float"))).as("new_centroid"))
-      centroids = centroids.join(means, Seq("cell_id"), "left")
-        .select(col("cell_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+          transform(col("v"), _.cast("float"))).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cells = cells.map { case (id, c, n) =>
+        val m = means.getOrElse(id, c)
+        (id, m, math.sqrt(m.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
     }
-    centroids
+    cells.map { case (id, c, _) => (id, c) }.toDF("cell_id", "centroid")
   }
 
   /** IVF-style ANN: coarse-quantize candidates to their nearest centroid
@@ -90,43 +142,35 @@ object Similarity {
     * swap in k-means via [[kmeansCentroids]] for better recall), then search
     * each query only inside its nprobe nearest cells.
     *
-    * One shuffle to bucket candidates, one broadcast of centroid probes;
-    * at scale the candidate table can be *written bucketed* by cell id so
-    * repeated queries skip the assignment pass entirely. */
+    * Candidate assignment is map-only ([[withNearestCells]]); the probe
+    * side (queries) is broadcast, so candidates are never shuffled for the
+    * join — at scale the candidate table can also be *written bucketed* by
+    * cell id so repeated query batches skip the assignment pass entirely. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroidsOverride: Option[DataFrame] = None): DataFrame = {
-    val centroids = broadcast(centroidsOverride.getOrElse(
+    val cells = cellsLiteral(collectCells(centroidsOverride.getOrElse(
       vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))))
 
-    def nearestCells(df: DataFrame, vec: String, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy("__vid").orderBy(col("__csim").desc, col("cell_id"))
-      df.join(centroids)
-        .withColumn("__csim", cosine(col(vec), col("centroid")))
-        .withColumn("__vid", col(idCol))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= n)
-        .drop("centroid", "__csim", "__vid", "__crank")
-        .withColumnRenamed("cell_id", out)
-    }
-
-    val cands = nearestCells(
-      vectors.select(col(idCol), toDouble(col(vecCol)).as("cv")), "cv", 1, "cell")
-      .select(col("cell"), col(idCol).as("candidate_id"), col("cv"))
-    val probes = nearestCells(
-      queries.select(col(idCol), toDouble(col(vecCol)).as("qv")), "qv", nprobe, "cell")
-      .select(col("cell"), col(idCol).as("query_id"), col("qv"))
+    val cands = withNearestCells(
+      vectors.select(col(idCol).as("candidate_id"), toDouble(col(vecCol)).as("cv")),
+      cells, "cv", 1, "cell")
+      .withColumn("cn", l2Norm(col("cv")))
+    val probes = withNearestCells(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
+      cells, "qv", nprobe, "cell")
+      .withColumn("qn", l2Norm(col("qv")))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("candidate_id"))
-    probes.withColumn("qn", l2Norm(col("qv")))
-      .join(cands.withColumn("cn", l2Norm(col("cv"))), Seq("cell"))
+    // no pair-dedup needed: a candidate lives in exactly one cell and a
+    // query's probe cells are distinct, so a pair can meet at most once
+    cands.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("candidate_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select("query_id", "candidate_id", "sim")
-      .distinct() // a pair may meet in several probed cells
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "candidate_id", "rank", "sim")
@@ -142,28 +186,24 @@ object Similarity {
   def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
                            numCentroids: Int = 16, nprobe: Int = 2,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(
+    val cells = cellsLiteral(collectCells(
       vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
-    def assign(n: Int): DataFrame = vectors
-      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .join(centroids)
-      .withColumn("__csim", cosine(col("v"), col("centroid")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("id").orderBy(col("__csim").desc, col("cell_id"))))
-      .filter(col("__r") <= n)
-      .select(col("cell_id").as("cell"), col("id"), col("v"))
-    val a = assign(1).select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = assign(nprobe).select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val a = withNearestCells(v, cells, "v", 1, "cell")
+      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withNearestCells(v, cells, "v", nprobe, "cell")
+      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    // sim computed (and thresholded) BEFORE the pair-dedup, so the distinct
+    // shuffles only (id, id, sim) scalars — never the vectors themselves
     a.join(b, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("v_a"), col("v_b"))
+        col("sim"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
-      .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
   }
 }

@@ -41,8 +41,11 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed ANN (the scale path) — same output shape as brute force;
-    * approximate by construction, so no oracle: the ScalaTest suite instead
+  /** IVF-bucketed ANN (the scale path) — same output shape as brute force.
+    * Approximate vs brute force, but fully DETERMINISTIC end-to-end
+    * (lowest-id seeding, tie-broken assignment and ranking), so the oracle
+    * SQL below mirrors the exact pipeline — assignment, probe, cosine,
+    * rank — and checks it value-for-value; the ScalaTest suite separately
     * measures recall against [[cosineTopK]]. */
   def cosineTopKIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -183,6 +186,44 @@ object SimilarityQueries {
                                         ORDER BY sim DESC, candidate_id) AS rank,
                      sim
               FROM sims)
+         SELECT query_id, candidate_id, rank,
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // Mirrors ivfTopK stage-for-stage: 16 lowest-id seed centroids, map-only
+    // argmax assignment (ties → lowest cell), nprobe=4 probe cells per query,
+    // in-cell cosine, distinct pair, rank ≤ 5. Fold orders match Spark's
+    // sequential aggregate() so the doubles are bit-identical.
+    "q_cosine_topk_ivf" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            nv AS (SELECT vec_id, ve,
+                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
+                   FROM v),
+            cents AS (SELECT vec_id AS cell_id, ve AS cv, vn AS cn
+                      FROM nv ORDER BY vec_id LIMIT 16),
+            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
+                            list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
+                            / c.cn AS csim
+                     FROM nv n CROSS JOIN cents c),
+            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM asim),
+            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
+            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells
+                      WHERE cr <= 4 AND vec_id < 8),
+            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                             list_reduce(list_transform(range(1, len(p.ve) + 1),
+                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
+                             / (p.vn * a.vn) AS sim
+                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+            ranked AS (SELECT query_id, candidate_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, candidate_id) AS rank,
+                              sim
+                       FROM pairs)
          SELECT query_id, candidate_id, rank,
                 CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM ranked WHERE rank <= 5

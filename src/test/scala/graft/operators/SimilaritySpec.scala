@@ -83,4 +83,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("IVF plan: map-only candidate assignment, probes broadcast") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val plan = Similarity.ivfTopK(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    // the only joins are broadcast (probe side); the candidate corpus is
+    // never exchanged for assignment
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"candidate side must not shuffle for a join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probes not broadcast:\n$plan")
+    // post-join dedup + top-k ranking are the only exchanges (both run on
+    // the already-pruned pair set, not the corpus)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"corpus-side shuffle crept into assignment ($exchanges):\n$plan")
+  }
+
+  test("k-means with zero iterations returns the deterministic seed centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = Similarity.kmeansCentroids(emb, numCentroids = 4, iters = 0, dim = 64)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(seeds.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
 }
