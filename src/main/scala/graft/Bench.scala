@@ -8,10 +8,15 @@ object Bench {
     // Warm-up: touch every table once (FS metadata, codegen, JIT) so the
     // first measured query doesn't absorb one-time session costs.
     graft.util.Tables.all(spark, sfDir).values.foreach(df => df.count(): Unit)
+    // Median of 3 runs per query: single-run numbers swing ±30% with
+    // machine load, which is larger than most real plan differences.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

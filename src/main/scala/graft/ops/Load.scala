@@ -43,6 +43,25 @@ object Load {
     }
   }
 
+  /** S7 with running code: a real JDBC writer behind the same trait —
+    * write + read-back count verification, the observable contract of the
+    * reference's Snowflake `COPY INTO` + `COUNT(*)` step (`load.py:54-88`).
+    * Exercised in tests against embedded Derby (the one JDBC engine the
+    * runtime ships); production swaps `url`/`driver` for the warehouse's
+    * JDBC endpoint without touching callers. */
+  class JdbcSink(spark: SparkSession, url: String,
+                 driver: String = "org.apache.derby.jdbc.EmbeddedDriver") extends TableSink {
+    private def props = {
+      val p = new java.util.Properties
+      p.setProperty("driver", driver)
+      p
+    }
+    def write(df: DataFrame, tableName: String): Long = {
+      df.write.mode("overwrite").jdbc(url, tableName, props)
+      spark.read.jdbc(url, tableName, props).count()
+    }
+  }
+
   /** P1 (`load.py:177-185`): project + write each of the six star tables.
     *
     * Deviation (improvement) from the reference, documented in SURVEY §3.1:

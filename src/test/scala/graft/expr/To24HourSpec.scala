@@ -7,7 +7,10 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.TestSpark
 
-/** E1 truth table from SURVEY §5.1 + property equivalence vs java.time. */
+/** E1 truth table from SURVEY §5.1 (updated to the reference's actual
+  * lenient split-and-rewrite semantics, transform.py:8-21) + property
+  * equivalence vs java.time on well-formed inputs — on zero-padded valid
+  * timestamps the lenient rewrite and strict strptime agree exactly. */
 class To24HourSpec extends AnyFunSuite {
   private def check(p: Prop): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
@@ -27,10 +30,26 @@ class To24HourSpec extends AnyFunSuite {
   test("AM below 12 unchanged") {
     assert(To24Hour.to24h("06/01/2024 03:10:00 AM") == "06/01/2024 03:10:00")
   }
-  test("malformed inputs pass through unchanged (reference fallthrough, transform.py:20-23)") {
-    for (bad <- Seq("", "garbage", "2023-01-15 12:00:00", "13/45/2023 12:00:00 AM",
-                    "01/15/2023 13:00:00 PM", "02/30/2023 01:00:00 AM"))
+  test("structurally malformed inputs pass through unchanged (transform.py:20-21)") {
+    for (bad <- Seq("", "garbage", "2023-01-15 12:00:00", "01/15/2023 1205 AM",
+                    "01/15/2023  12:05:00 AM", "01/15/2023 12:05:00 AM "))
       assert(To24Hour.to24h(bad) == bad)
+  }
+
+  test("lenient split-and-rewrite: no padding, no validation (transform.py:12-19)") {
+    // non-zero-padded hour converts (the strict-strptime divergence ADVICE pinned)
+    assert(To24Hour.to24h("01/15/2023 1:05:00 PM") == "01/15/2023 13:05:00")
+    // hour 00 with AM isn't "12", so it rides through untouched
+    assert(To24Hour.to24h("01/15/2023 00:30:00 AM") == "01/15/2023 00:30:00")
+    // nothing validates the fields: impossible values are rebuilt verbatim,
+    // and the rebuild always drops the period suffix
+    assert(To24Hour.to24h("13/45/2023 12:00:00 AM") == "13/45/2023 00:00:00")
+    assert(To24Hour.to24h("01/15/2023 13:00:00 PM") == "01/15/2023 25:00:00")
+    assert(To24Hour.to24h("02/30/2023 01:00:00 AM") == "02/30/2023 01:00:00")
+    // non-integer hour with PM → int() raises → passthrough keeps the suffix
+    assert(To24Hour.to24h("01/15/2023 xx:00:00 PM") == "01/15/2023 xx:00:00 PM")
+    // unknown period: no branch fires but the rebuild still happens
+    assert(To24Hour.to24h("01/15/2023 03:00:00 UTC") == "01/15/2023 03:00:00")
   }
 
   test("expression path (codegen) agrees with the pure function, nulls stay null") {

@@ -19,8 +19,8 @@ class BatchEtlSpec extends AnyFunSuite {
     Extract.readCsv(spark, fixture, CallDataSchema.csvSchema)
   private lazy val transformed = Transform.transformData(raw)
 
-  test("extract reads all 8 fixture rows with declared schema") {
-    assert(raw.count() == 8)
+  test("extract reads all 9 fixture rows with declared schema") {
+    assert(raw.count() == 9)
     Extract.validate(raw, CallDataSchema.requiredRawColumns)
   }
 
@@ -32,10 +32,11 @@ class BatchEtlSpec extends AnyFunSuite {
     assert(byName("CAD Event Original Time Queued") == "string") // AM/PM strings don't infer as timestamp
   }
 
-  test("null-arrival row and null-in-service event are removed (P5 + J1): 8 -> 5 rows") {
+  test("null-arrival row and null-in-service event are removed (P5 + J1): 9 -> 6 rows") {
     // R4 dropped (null arrival); R5+R6 both dropped (event 2023000005 anti-join)
     val events = transformed.select("cad_event_number").collect().map(_.getLong(0)).sorted
-    assert(events.toSeq == Seq(2023000001L, 2023000002L, 2023000003L, 2023000006L, 2023000007L))
+    assert(events.toSeq == Seq(2023000001L, 2023000002L, 2023000003L,
+      2023000006L, 2023000007L, 2023000008L))
   }
 
   test("columns are snake_case and agency/geo columns are dropped (P2+P3)") {
@@ -51,6 +52,16 @@ class BatchEtlSpec extends AnyFunSuite {
       .select(date_format(col("cad_event_original_time_queued"), "yyyy-MM-dd HH:mm:ss"))
       .head().getString(0)
     assert(r1 == "2023-01-15 13:00:00")
+  }
+
+  test("non-zero-padded hour converts through the lenient rewrite (E1, transform.py:12-16)") {
+    // '1:45:00 PM' → '13:45:00': the reference's split-and-rewrite accepts
+    // it; a strict strptime would passthrough and the row would lose its
+    // queued timestamp in to_timestamp
+    val r9 = transformed.filter(col("cad_event_number") === 2023000008L)
+      .select(date_format(col("cad_event_original_time_queued"), "yyyy-MM-dd HH:mm:ss"))
+      .head().getString(0)
+    assert(r9 == "2023-01-15 13:45:00")
   }
 
   test("12:xx AM edge parses to hour 00 and at-scene fills from first_response (E1+E4)") {
@@ -122,17 +133,26 @@ class BatchEtlSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_star").toString
     val counts = Load.saveStarSchema(transformed, new Load.ParquetSink(spark, out))
     assert(counts.keySet == CallDataSchema.starTables.map(_._1).toSet)
-    assert(counts.values.toSet == Set(5L)) // row-aligned vertical partitions
+    assert(counts.values.toSet == Set(6L)) // row-aligned vertical partitions
     CallDataSchema.starTables.foreach { case (name, cols) =>
       val written = spark.read.parquet(s"$out/${name}_parquet")
       assert(written.columns.toSeq == cols, s"$name columns mismatch")
     }
   }
 
+  test("JDBC sink round-trips all six star tables through embedded Derby (S7)") {
+    val dir = Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", dir) // keep derby.log out of cwd
+    val counts = Load.saveStarSchema(transformed,
+      new Load.JdbcSink(spark, s"jdbc:derby:$dir/db;create=true"))
+    assert(counts.keySet == CallDataSchema.starTables.map(_._1).toSet)
+    assert(counts.values.toSet == Set(6L))
+  }
+
   test("runBatch end-to-end with declared schema") {
     val out = Files.createTempDirectory("graft_batch").toString
     val counts = Load.runBatch(spark, fixture, out)
-    assert(counts("fact_call") == 5L)
+    assert(counts("fact_call") == 6L)
   }
 
   test("missing required column fails validation (P9)") {
