@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: the batch twin of streaming session windows
+  * (`graft.streaming` covers the stateful variant) — standard event-log
+  * analytics the reference's dashboard layer would need at scale.
+  *
+  * Scale shape: both window passes (lag for the gap test, running sum for
+  * the session index) share one (key, ts, tie) partitioning/ordering, so
+  * Catalyst plans a SINGLE Exchange + sort for the whole operator; the
+  * follow-up per-session aggregate reuses the same hash partitioning.
+  *
+  * Timestamps are floored to epoch seconds before the gap compare so the
+  * semantics are engine-portable (sub-second precision differs across
+  * engines; whole-second gaps do not).
+  */
+object Sessionize {
+
+  /** Adds `session_index` (1-based per key): a new session starts when the
+    * gap from the previous event exceeds `gapSeconds`. `tieCol` breaks
+    * equal-timestamp ordering so the result is fully deterministic. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    val w = Window.partitionBy(keyCol).orderBy(sec, col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__sec", sec)
+      .withColumn("__prev", lag(col("__sec"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__sec") - col("__prev") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_index", sum(col("__new")).over(run))
+      .drop("__prev", "__new")
+  }
+
+  /** Per-session rollup: event count and span (seconds, floored). */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   gapSeconds: Long, tieCol: String): DataFrame =
+    sessionize(df, keyCol, tsCol, gapSeconds, tieCol)
+      .groupBy(col(keyCol), col("session_index"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("__sec")) - min(col("__sec"))).as("span_s"))
+
+  /** Interval (range) join: every left row matched to right rows of the same
+    * key whose timestamp falls in [leftTs - windowSeconds, leftTs]. The
+    * equi-key keeps the join hash/sort-merge partitioned; the range predicate
+    * evaluates post-match — no cartesian explosion. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                leftTs: String, rightTs: String, windowSeconds: Long): DataFrame = {
+    val l = col(leftTs).cast("long")
+    val r = col(rightTs).cast("long")
+    left.join(right,
+      left(keyCol) === right(keyCol) && r >= l - windowSeconds && r <= l)
+      .drop(right(keyCol))
+  }
+}

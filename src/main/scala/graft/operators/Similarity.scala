@@ -34,6 +34,18 @@ object Similarity {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Symmetric int8 linear quantization of a double array:
+    * `q_i = floor(x_i / amax * 127 + 0.5)` — round-half-up spelled as
+    * `floor(+0.5)` so every engine computes the identical integer; the
+    * de-quantization scale is `amax / 127` per vector. All-zero vectors
+    * (amax = 0) quantize to zeros. Map-only (4× storage cut for ANN
+    * candidate tables before the exact re-rank). */
+  def quantizeInt8(v: Column): Column = {
+    val amax = array_max(transform(v, x => abs(x)))
+    transform(v, x => when(amax === lit(0.0), lit(0))
+      .otherwise(floor(x / amax * lit(127.0) + lit(0.5)).cast("int")))
+  }
+
   /** Brute-force cosine top-k: every query against every candidate.
     * Queries are broadcast (they must be small — that's the contract of
     * this baseline); candidates stream through in one scan, and the window

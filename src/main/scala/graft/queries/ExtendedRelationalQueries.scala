@@ -129,7 +129,35 @@ object ExtendedRelationalQueries {
         max(col("o_orderkey")).as("last_order"))
       .orderBy("o_custkey")
 
+  /** GROUPING SETS with hand-picked sets (beyond rollup/cube's fixed
+    * lattices): per-status, per-priority, and the grand total. */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Multi-quantile per group: exact interpolated p25/p50/p75 (same
+    * engine-parity argument as [[medianAgg]]). */
+  def quantilesAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("q50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q75"))
+      .select(col("l_returnflag"),
+        round(col("q25"), 4).cast(DecimalType(18, 4)).cast("double").as("q25"),
+        round(col("q50"), 4).cast(DecimalType(18, 4)).cast("double").as("q50"),
+        round(col("q75"), 4).cast(DecimalType(18, 4)).cast("double").as("q75"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets"  -> (groupingSetsAgg _),
+    "q_quantiles"      -> (quantilesAgg _),
     "q_collect_agg"    -> (collectAgg _),
     "q_arg_minmax"     -> (argMinMax _),
     "q_median"         -> (medianAgg _),
@@ -144,6 +172,17 @@ object ExtendedRelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+                CAST(CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS DOUBLE) AS q25,
+                CAST(CAST(round(quantile_cont(l_extendedprice, 0.5),  4) AS DECIMAL(18,4)) AS DOUBLE) AS q50,
+                CAST(CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DECIMAL(18,4)) AS DOUBLE) AS q75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_collect_agg" ->
       """SELECT l_returnflag,
                 array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

@@ -135,6 +135,37 @@ object SimilarityQueries {
         round(col("v"), 4).cast(DecimalType(18, 4)).cast("double").as("mean_val"))
       .orderBy("label", "dim")
 
+  /** Int8-quantized embeddings ([[Similarity.quantizeInt8]]), exploded to
+    * (vec_id, dim, q) scalar rows for the oracle. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(Similarity.toDouble(col("embedding"))).as("qv"))
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("q"))
+      .orderBy("vec_id", "dim")
+
+  /** Edit-distance near-dup pairs: 40-char-prefix Levenshtein ≤ 10 within
+    * (lang, 10-char length bucket) blocks, closest 50 pairs. The prefix cap
+    * bounds the O(n·m) DP per pair — full-text edit distance over block²
+    * pairs is quadratic in document length and unnecessary for near-dup
+    * triage (prefix agreement is the signal). */
+  def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(
+      col("doc_id"),
+      substring(col("text"), 1, 40).as("prefix"),
+      concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
+    val a = docs.select(col("block"), col("doc_id").as("id_a"), col("prefix").as("p_a"))
+    val b = docs.select(col("block"), col("doc_id").as("id_b"), col("prefix").as("p_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
+      .filter(col("lev") <= 10)
+      .select("id_a", "id_b", "lev")
+      .orderBy(col("lev"), col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
   /** As-of join ([[graft.operators.AsOf]]): each purchase event matched to
     * the user's most recent signup at or before it. Spark lacks the
     * operator; DuckDB's native ASOF JOIN is the oracle. */
@@ -160,6 +191,8 @@ object SimilarityQueries {
     "q_minhash_arith"   -> (minhashArith _),
     "q_simhash_arith"   -> (simhashArith _),
     "q_vector_mean"     -> (vectorMeanByLabel _),
+    "q_quantize_int8"   -> (quantizeInt8 _),
+    "q_levenshtein"     -> (levenshteinPairs _),
     "q_asof_join"       -> (asofSignup _),
   )
 
@@ -257,6 +290,25 @@ object SimilarityQueries {
                 CAST(CAST(round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS mean_val
          FROM embeddings, range(1, 65) t(i)
          GROUP BY label, i ORDER BY label, dim""",
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS amax
+                  FROM v)
+         SELECT vec_id, i AS dim,
+                CAST(CASE WHEN amax = 0 THEN 0
+                          ELSE floor(ve[i] / amax * 127 + 0.5) END AS INTEGER) AS q
+         FROM m, range(1, 65) t(i)
+         ORDER BY vec_id, dim""",
+    "q_levenshtein" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS prefix,
+                           lang || '|' || CAST(CAST(floor(n_chars / 10) AS BIGINT) AS VARCHAR) AS block
+                    FROM documents),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             levenshtein(a.prefix, b.prefix) AS lev
+                      FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, lev FROM pairs WHERE lev <= 10
+         ORDER BY lev, id_a, id_b LIMIT 50""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, s.signup_event_id
          FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

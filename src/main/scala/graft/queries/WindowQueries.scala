@@ -72,12 +72,39 @@ object WindowQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("window_start", "event_type")
 
+  /** Gap-based sessionization over the event log (30-minute gap): per-user
+    * session index, event count, span — [[graft.operators.Sessionize]]. */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessionStats(
+        events(s, d), keyCol = "user_id", tsCol = "ts",
+        gapSeconds = 1800L, tieCol = "event_id")
+      .select("user_id", "session_index", "n_events", "span_s")
+      .orderBy("user_id", "session_index")
+
+  /** Interval join: each purchase matched to every signup by the same user
+    * in the preceding hour (the range-join cousin of the as-of join, which
+    * keeps only the latest). */
+  def purchasesWithRecentSignups(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    graft.operators.Sessionize.rangeJoin(
+        purchases, signups, keyCol = "user_id",
+        leftTs = "p_ts", rightTs = "s_ts", windowSeconds = 3600L)
+      .select("purchase_id", "signup_id", "user_id")
+      .orderBy("purchase_id", "signup_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rownum"  -> (rowNumber _),
     "q_window_running" -> (runningSum _),
     "q_window_topk"    -> (topPerGroup _),
     "q_union_byname"   -> (unionByNameCounts _),
     "q_hourly_counts"  -> (hourlyCounts _),
+    "q_sessionize"     -> (sessionStats _),
+    "q_range_join"     -> (purchasesWithRecentSignups _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,5 +134,35 @@ object WindowQueries {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // epoch floored to whole seconds on both sides: sub-second precision is
+    // engine-specific, whole-second gap arithmetic is not
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+                    FROM events),
+            g AS (SELECT user_id, event_id, sec,
+                         CASE WHEN lag(sec) OVER w IS NULL
+                                OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+            s AS (SELECT user_id, sec,
+                         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+                  FROM g)
+         SELECT CAST(user_id AS BIGINT) AS user_id,
+                session_index,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(sec) - min(sec) AS BIGINT) AS span_s
+         FROM s GROUP BY user_id, session_index
+         ORDER BY user_id, session_index""",
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+         FROM (SELECT user_id, event_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+               FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, event_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+               FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.sec >= p.sec - 3600 AND s.sec <= p.sec
+         ORDER BY purchase_id, signup_id""",
   )
 }
