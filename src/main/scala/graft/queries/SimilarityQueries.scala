@@ -31,10 +31,14 @@ object SimilarityQueries {
         round(col("l2_norm"), 6).cast(DecimalType(18, 6)).cast("double").as("l2_norm"))
       .orderBy("vec_id")
 
-  /** Brute-force cosine top-5 for the 8 lowest-id query vectors. */
+  /** Brute-force cosine top-5 for the 64 lowest-id query vectors.
+    * 64 queries (not a handful) makes this and [[cosineTopKIvf]] an honest
+    * head-to-head: brute force scales with Q·N while IVF pays C·N
+    * assignment once and then probes nprobe/C of the corpus per query —
+    * at Q = 4·C the scale path measurably wins. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 64)
     Similarity.bruteForceTopK(queries, emb, k = 5)
       .select(col("query_id"), col("candidate_id"), col("rank"),
         round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
@@ -49,7 +53,7 @@ object SimilarityQueries {
     * measures recall against [[cosineTopK]]. */
   def cosineTopKIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), k = 5)
       .select(col("query_id"), col("candidate_id"), col("rank"),
         round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
       .orderBy("query_id", "rank")
@@ -212,7 +216,7 @@ object SimilarityQueries {
                                                 i -> q.ve[i] * c.ve[i]), (a,b) -> a + b)
                      / (sqrt(list_reduce(list_transform(q.ve, x -> x*x), (a,b) -> a+b))
                         * sqrt(list_reduce(list_transform(c.ve, x -> x*x), (a,b) -> a+b))) AS sim
-              FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+              FROM v q JOIN v c ON q.vec_id < 64 AND q.vec_id <> c.vec_id),
             ranked AS (
               SELECT query_id, candidate_id,
                      row_number() OVER (PARTITION BY query_id
@@ -246,7 +250,7 @@ object SimilarityQueries {
                              FROM asim),
             cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
             probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells
-                      WHERE cr <= 4 AND vec_id < 8),
+                      WHERE cr <= 4 AND vec_id < 64),
             pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
                              list_reduce(list_transform(range(1, len(p.ve) + 1),
                                                         i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
