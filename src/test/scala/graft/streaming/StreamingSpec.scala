@@ -177,4 +177,39 @@ class StreamingSpec extends AnyFunSuite {
       ("2023-01-15 13:00:00", "911", 2L),
       ("2023-01-15 13:05:00", "911", 1L)))
   }
+
+  test("T5 extension: session windows close on the gap, span grows with events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sessions = StreamPipeline.sessionCounts(
+      StreamPipeline.decode(input.toDF()), "10 minutes", "5 minutes")
+    // session windows only support append mode: a session is emitted once
+    // the watermark passes its end (i.e. it can no longer grow)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(
+      // 13:01 and 13:03 fall inside one 5-min-gap session; 13:20 opens its own
+      record("S1", "911", "1", queued = "2023-01-15T13:01:00.000"),
+      record("S2", "911", "1", queued = "2023-01-15T13:03:00.000"),
+      record("S3", "911", "1", queued = "2023-01-15T13:20:00.000"))
+    q.processAllAvailable()
+    // advance the watermark past both session ends so append emits them;
+    // the advancer's own session stays open and is NOT emitted
+    input.addData(record("S4", "911", "1", queued = "2023-01-15T14:00:00.000"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_out")
+      .select(col("session_window.start").cast("string"),
+        col("session_window.end").cast("string"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      // end = last event + gap: the window stretched as the session grew
+      ("2023-01-15 13:01:00", "2023-01-15 13:08:00", 2L),
+      ("2023-01-15 13:20:00", "2023-01-15 13:25:00", 1L)))
+  }
 }
