@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` payloads with typed metadata; decode /
   * feature-extract / frame-sample run as partition-local batch functions.
   *
-  * The actual codecs (JPEG/PNG/audio) are NOT present in this container, so
-  * [[FakeDecoder]] below is a clearly-marked deterministic STUB — the
-  * Spark-side contract (schema, partitioning, batch iteration shape, typed
-  * output) is real and tested, and a production deployment swaps the stub
-  * for a real codec without touching the plumbing.
+  * The actual pixel codecs (JPEG/PNG/audio) are NOT present in this
+  * container, so [[FakeDecoder]] below is a clearly-marked deterministic
+  * STUB — the Spark-side contract (schema, partitioning, batch iteration
+  * shape, typed output) is real and tested, and a production deployment
+  * swaps the stub for a real codec without touching the plumbing.
+  * [[HeaderDecoder]] and [[parseDims]] ARE real: image dimensions come from
+  * actual PNG/GIF/JPEG header bytes (pure arithmetic, no codec needed);
+  * only pixel-level feature extraction stays stubbed.
   *
   * Scale notes: decode runs via `mapPartitions` (one decoder instance per
   * partition, amortized setup — the Scala analogue of `mapInPandas` batch
@@ -47,6 +50,64 @@ object Multimodal {
         MediaFeatures(r.media_id, r.mime, n, side, math.max(1, n / side), feats)
       }
   }
+
+  /** Header-parsing decoder: REAL dimension extraction for PNG / GIF /
+    * baseline-JPEG byte streams — pure header arithmetic, no codec library
+    * — falling back to the stub's length-derived dims for unknown formats.
+    * Only the pixel-level feature extraction remains stubbed. */
+  class HeaderDecoder(featureDim: Int = 8) extends Decoder {
+    private val fake = new FakeDecoder(featureDim)
+    def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map { r =>
+        val base = fake.decode(Iterator(r)).next()
+        parseDims(r.payload).fold(base) { case (w, h) =>
+          base.copy(width = w, height = h)
+        }
+      }
+  }
+
+  /** (width, height) from real image headers:
+    *   - PNG: big-endian 32-bit at offsets 16/20 (8-byte signature, 4-byte
+    *     chunk length, "IHDR", then width/height);
+    *   - GIF: little-endian 16-bit logical screen size at offsets 6/8;
+    *   - JPEG: walk the marker segments to the first SOF frame header
+    *     (height then width, big-endian 16-bit at +5/+7).
+    * Returns None for anything else (caller decides the fallback). */
+  def parseDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 24 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some((be32(16), be32(20)))
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      Some((le16(6), le16(8)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < p.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) return Some((be16(i + 7), be16(i + 5)))
+        i += 2 + be16(i + 2)
+      }
+      None
+    } else None
+  }
+
+  /** PNG signature test as a codegen'd column expression. */
+  def isPng(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(call_function("substr", payload, lit(1), lit(8))) === "89504E470D0A1A0A"
+
+  /** PNG width/height as pure column expressions (big-endian 4 bytes via
+    * hex→conv) — header metadata at scan speed, no decoder round-trip, and
+    * parquet reads only the leading page of the payload column. */
+  def pngWidth(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isPng(payload),
+      conv(hex(call_function("substr", payload, lit(17), lit(4))), 16, 10).cast("int"))
+  def pngHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isPng(payload),
+      conv(hex(call_function("substr", payload, lit(21), lit(4))), 16, 10).cast("int"))
 
   /** Build a media table from any (id, string-payload) source — here the
     * documents table stands in for a binary blob store. */

@@ -41,6 +41,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames == Seq("abcd", "defg", "ghij"))
   }
 
+  // crafted real headers: 64x32 PNG, 300x200 GIF, 640x480 baseline JPEG
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdrLen = Array(0, 0, 0, 13).map(_.toByte)
+    val ihdr = "IHDR".getBytes("US-ASCII")
+    def be32(v: Int) = Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff).map(_.toByte)
+    sig ++ ihdrLen ++ ihdr ++ be32(w) ++ be32(h) ++ Array.fill(5)(0.toByte)
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++
+      Array(w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0, 0, 0).map(_.toByte)
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array(v >>> 8, v & 0xff).map(_.toByte)
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ Array.fill(14)(0.toByte)
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++
+      Array(8.toByte) ++ be16(h) ++ be16(w) ++ Array.fill(4)(0.toByte)
+    soi ++ app0 ++ sof0
+  }
+
+  test("parseDims reads real PNG/GIF/JPEG headers; garbage falls through") {
+    assert(Multimodal.parseDims(pngBytes(64, 32)) == Some((64, 32)))
+    assert(Multimodal.parseDims(gifBytes(300, 200)) == Some((300, 200)))
+    assert(Multimodal.parseDims(jpegBytes(640, 480)) == Some((640, 480)))
+    assert(Multimodal.parseDims("not an image".getBytes("UTF-8")) == None)
+  }
+
+  test("HeaderDecoder extracts real dims, falls back to stub dims otherwise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image/png", pngBytes(64, 32)),
+      (2L, "text/plain", "plain payload".getBytes("UTF-8"))
+    ).toDF("media_id", "mime", "payload")
+    val got = Multimodal.decodeFeatures(spark, df, new Multimodal.HeaderDecoder())
+      .collect().map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got(1L) == ((64, 32)))
+    assert(got(2L)._1 > 0 && got(2L)._2 > 0) // stub fallback still types dims
+  }
+
+  test("PNG dims as column expressions agree with the decoder") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, pngBytes(1920, 1080)),
+      (2L, "nope".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val rows = df.select(col("media_id"),
+        Multimodal.pngWidth(col("payload")).as("w"),
+        Multimodal.pngHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(rows(1L) == Some((1920, 1080)))
+    assert(rows(2L) == None)
+  }
+
   test("metadata projection prunes payload from the parquet scan") {
     // write media out, then read back metadata-only: scan must not read payload
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
