@@ -69,4 +69,31 @@ object CurationPipeline {
 
     (result, stages.toSeq)
   }
+
+  /** Embedding-side curation, composed from the ANN operators:
+    *
+    *   1. cosine near-duplicate removal (cell-blocked multi-probe; from
+    *      each near-identical pair the higher vec_id is dropped);
+    *   2. int8 quantization of the survivors (map-only, 4× storage cut for
+    *      the ANN candidate table; the float column stays for re-ranking).
+    *
+    * Same contract as [[curate]]: curated frame + per-stage counts. */
+  def curateEmbeddings(emb: DataFrame,
+                       dupThreshold: Double = 0.99,
+                       numCentroids: Int = 16): (DataFrame, Seq[(String, Long)]) = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      stages += name -> cached.count()
+      cached
+    }
+    val input = stage("input", emb)
+    val losers = Similarity
+      .cosineNearDuplicates(input, dupThreshold, numCentroids)
+      .select(col("id_b").as("vec_id")).distinct()
+    val deduped = stage("near_dedup", input.join(losers, Seq("vec_id"), "left_anti"))
+    val quantized = deduped.withColumn("q_embedding",
+      Similarity.quantizeInt8(Similarity.toDouble(col("embedding"))))
+    (quantized, stages.toSeq)
+  }
 }

@@ -48,6 +48,21 @@ class CurationPipelineSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("embedding curation drops the near-identical vector and quantizes survivors") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val jit = base.clone(); jit(0) += 0.001f
+    val other = Array.tabulate(8)(i => ((i * 37) % 13 - 6).toFloat)
+    val emb = Seq((1L, base), (2L, jit), (3L, other)).toDF("vec_id", "embedding")
+    val (out, stages) = CurationPipeline.curateEmbeddings(emb, dupThreshold = 0.999,
+      numCentroids = 2)
+    assert(stages.toMap == Map("input" -> 3L, "near_dedup" -> 2L))
+    val rows = out.select("vec_id", "q_embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.keySet == Set(1L, 3L)) // vec 2 (the jittered copy) dropped
+    assert(rows.values.forall(q => q.forall(x => x >= -127 && x <= 127)))
+    assert(rows(1L).last == 127) // the max-magnitude element quantizes to full scale
+  }
+
   test("map-only claims hold: minhash/simhash signature plans have no Exchange") {
     val sigPlan = Dedup.withMinhashSignature(docs, "text")
       .queryExecution.executedPlan.toString

@@ -100,6 +100,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"corpus-side shuffle crept into assignment ($exchanges):\n$plan")
   }
 
+  test("int8 quantization: bounded range, bounded round-trip error, zero-vector safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))) :+
+      (99L, Array.fill(16)(0.0f)) // all-zero vector must not divide by zero
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+        Similarity.quantizeInt8(Similarity.toDouble(col("embedding"))).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val q = rows(id)
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      assert(q.forall(x => x >= -127 && x <= 127), s"vec $id out of int8 range: $q")
+      if (amax == 0.0) assert(q.forall(_ == 0))
+      else {
+        val scale = amax / 127.0
+        v.zip(q).foreach { case (x, qi) =>
+          // round-half-up: |x - q*scale| <= scale/2 (+ half-ulp slack)
+          assert(math.abs(x.toDouble - qi * scale) <= scale / 2 + 1e-12,
+            s"vec $id: $x quantized to $qi (scale $scale)")
+        }
+      }
+    }
+  }
+
   test("k-means with zero iterations returns the deterministic seed centroids") {
     val emb = Tables.embeddings(spark, sf)
     val seeds = Similarity.kmeansCentroids(emb, numCentroids = 4, iters = 0, dim = 64)
