@@ -72,6 +72,31 @@ object WindowQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("window_start", "event_type")
 
+  /** lag/lead/first_value/last_value — the value-offset window family
+    * (each value exact: ids and floored epoch seconds, no float drift). */
+  def lagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        first(col("event_id")).over(frame).as("first_id"),
+        last(col("event_id")).over(frame).as("last_id"))
+      .orderBy("event_id")
+  }
+
+  /** EXCEPT / INTERSECT set operations: user-id sets of two event slices
+    * (purchase-but-never-error, purchase-and-error). */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchasers = ev.filter(col("event_type") === "purchase").select("user_id")
+    val erroring = ev.filter(col("event_type") === "error").select("user_id")
+    val only = purchasers.except(erroring).withColumn("relation", lit("only_purchase"))
+    val both = purchasers.intersect(erroring).withColumn("relation", lit("both"))
+    only.unionByName(both).orderBy("relation", "user_id")
+  }
+
   /** Gap-based sessionization over the event log (30-minute gap): per-user
     * session index, event count, span — [[graft.operators.Sessionize]]. */
   def sessionStats(s: SparkSession, d: String): DataFrame =
@@ -105,6 +130,8 @@ object WindowQueries {
     "q_hourly_counts"  -> (hourlyCounts _),
     "q_sessionize"     -> (sessionStats _),
     "q_range_join"     -> (purchasesWithRecentSignups _),
+    "q_window_lag"     -> (lagLead _),
+    "q_set_ops"        -> (setOps _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +181,26 @@ object WindowQueries {
                 CAST(max(sec) - min(sec) AS BIGINT) AS span_s
          FROM s GROUP BY user_id, session_index
          ORDER BY user_id, session_index""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+                lag(event_id, 1)  OVER w AS prev_id,
+                lead(event_id, 1) OVER w AS next_id,
+                first_value(event_id) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_id,
+                last_value(event_id) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY event_id""",
+    "q_set_ops" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+            e AS (SELECT user_id FROM events WHERE event_type = 'error')
+         SELECT user_id, 'only_purchase' AS relation FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+         UNION ALL
+         SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+         ORDER BY relation, user_id""",
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
          FROM (SELECT user_id, event_id,

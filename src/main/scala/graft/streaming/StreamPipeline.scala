@@ -159,6 +159,27 @@ object StreamPipeline {
         col("call_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Watermarked stream-stream INNER join (SURVEY §2.8 extension): left
+    * records joined to right records of the same event number whose event
+    * time lands within `[l_time, l_time + skew]`. Both watermarks plus the
+    * time bound let Spark evict join state — without the range condition a
+    * stream-stream join would buffer both sides forever. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       watermark: String = "10 minutes",
+                       skew: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark("cad_event_original_time_queued", watermark)
+      .select(
+        col("cad_event_number").as("l_key"),
+        col("cad_event_original_time_queued").as("l_time"),
+        col("call_type"))
+    val r = right.withWatermark("cad_event_original_time_queued", watermark)
+      .select(
+        col("cad_event_number").as("r_key"),
+        col("cad_event_original_time_queued").as("r_time"))
+    l.join(r, expr(
+      s"l_key = r_key AND r_time >= l_time AND r_time <= l_time + INTERVAL $skew"))
+  }
+
   /** T6 explicit variant (SURVEY §2.8): stream-side dedup by key with a
     * watermark bounding the state — the in-flight complement of the sink's
     * last-writer-wins upsert. Without the watermark the key set grows

@@ -212,4 +212,33 @@ class StreamingSpec extends AnyFunSuite {
       ("2023-01-15 13:01:00", "2023-01-15 13:08:00", 2L),
       ("2023-01-15 13:20:00", "2023-01-15 13:25:00", 1L)))
   }
+
+  test("stream-stream join matches within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[String]
+    val rin = MemoryStream[String]
+    val joined = StreamPipeline.streamStreamJoin(
+      StreamPipeline.decode(lin.toDF()),
+      StreamPipeline.decode(rin.toDF()),
+      watermark = "10 minutes", skew = "5 minutes")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ss_join_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    lin.addData(
+      record("J1", "911", "1", queued = "2023-01-15T13:00:00.000"),
+      record("J2", "911", "1", queued = "2023-01-15T13:00:00.000"))
+    rin.addData(
+      record("J1", "911", "1", queued = "2023-01-15T13:03:00.000"), // in bound
+      record("J2", "911", "1", queued = "2023-01-15T13:09:00.000"), // past skew
+      record("J3", "911", "1", queued = "2023-01-15T13:03:00.000")) // no left
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_join_out")
+      .select("l_key").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("J1"))
+  }
 }
