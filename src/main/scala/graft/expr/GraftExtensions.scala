@@ -29,7 +29,7 @@ object FoldTo24Hour extends Rule[LogicalPlan] {
 /** Session extensions wiring the graft Catalyst surface into any
   * SparkSession (SURVEY §7.3):
   *
-  *   - `to_24h` as a SQL-callable function
+  *   - `to_24h` and `sorted_intersect_size` as SQL-callable functions
   *     (`spark.sql("SELECT to_24h(raw_time) ...")`),
   *   - [[FoldTo24Hour]] as an optimizer rule.
   *
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "to_24h expects exactly one argument")
         To24Hour(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_intersect_size expects two arguments")
+        SortedIntersectSize(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => FoldTo24Hour)
   }

@@ -35,6 +35,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == "01/15/2023 14:30:00")
   }
 
+  test("sorted_intersect_size is callable from SQL") {
+    val got = spark.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n")
+      .head().getInt(0)
+    assert(got == 2)
+  }
+
   test("FoldTo24Hour constant-folds literal inputs at plan time") {
     val df = spark.sql("SELECT to_24h('01/15/2023 02:30:00 PM') AS t")
     val optimized = df.queryExecution.optimizedPlan.toString
