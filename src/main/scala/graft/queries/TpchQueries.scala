@@ -54,10 +54,47 @@ object TpchQueries {
       .agg(sum(dec("l_extendedprice") * dec("l_discount"))
         .cast(DecimalType(18, 4)).cast("double").as("revenue"))
 
+  /** Q14 shape: join + conditional-aggregate ratio (promo revenue share of
+    * one shipping month). Both decimal sums cast to double BEFORE the
+    * division — decimal division scale rules differ across engines, double
+    * division of identical doubles does not. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = dec("l_extendedprice") *
+      (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(12, 2))))
+          .cast(DecimalType(18, 4)).cast("double").as("promo_rev"),
+        sum(rev).cast(DecimalType(18, 4)).cast("double").as("total_rev"))
+      .select(round(lit(100.0) * col("promo_rev") / col("total_rev"), 4).as("promo_revenue_pct"))
+  }
+
+  /** Q18 shape: large-volume orders — aggregate-then-join with a HAVING
+    * build side (the classic "group, filter on the aggregate, enrich"). */
+  def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_quantity")).cast(DecimalType(18, 2)).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast("double").as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch1_pricing"  -> (pricingSummary _),
     "q_tpch3_shipping" -> (shippingPriority _),
     "q_tpch6_forecast" -> (forecastRevenue _),
+    "q_tpch14_promo"   -> (promoRevenue _),
+    "q_tpch18_large"   -> (largeOrders _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,6 +122,32 @@ object TpchQueries {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
+    "q_tpch14_promo" ->
+      """WITH j AS (
+           SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+                  p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+         SELECT round(100.0 *
+                  CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,4)) AS DOUBLE)
+                  / CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE), 4) AS promo_revenue_pct
+         FROM j""",
+    "q_tpch18_large" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) > 150)
+         SELECT c_custkey, c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+                sum_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN big    ON o_orderkey = l_orderkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "q_tpch6_forecast" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM lineitem
