@@ -97,6 +97,26 @@ object WindowQueries {
     only.unionByName(both).orderBy("relation", "user_id")
   }
 
+  /** SCD Type 2 over the event log ([[graft.operators.Scd]]): each user
+    * event versioned with a validity interval; the open row is current. */
+  def scd2Versions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd.scd2(events(s, d), "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+
+  /** Semi-structured access: JSON path extraction from the props column,
+    * via both the string-path (`get_json_object`) and the typed
+    * (`from_json` struct) routes — same value either way. */
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_typed"))
+      .orderBy("event_id")
+
   /** Gap-based sessionization over the event log (30-minute gap): per-user
     * session index, event count, span — [[graft.operators.Sessionize]]. */
   def sessionStats(s: SparkSession, d: String): DataFrame =
@@ -132,6 +152,8 @@ object WindowQueries {
     "q_range_join"     -> (purchasesWithRecentSignups _),
     "q_window_lag"     -> (lagLead _),
     "q_set_ops"        -> (setOps _),
+    "q_scd2"           -> (scd2Versions _),
+    "q_json_funcs"     -> (jsonFuncs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -201,6 +223,19 @@ object WindowQueries {
          UNION ALL
          SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
          ORDER BY relation, user_id""",
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+                    FROM events)
+         SELECT user_id, event_id, sec AS valid_from,
+                lead(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+                lead(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL AS is_current
+         FROM e ORDER BY user_id, valid_from, event_id""",
+    "q_json_funcs" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+         FROM events ORDER BY event_id""",
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
          FROM (SELECT user_id, event_id,
