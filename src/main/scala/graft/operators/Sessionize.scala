@@ -21,16 +21,16 @@ object Sessionize {
 
   /** Adds `session_index` (1-based per key): a new session starts when the
     * gap from the previous event exceeds `gapSeconds`. `tieCol` breaks
-    * equal-timestamp ordering so the result is fully deterministic. */
+    * equal-timestamp ordering so the result is fully deterministic. Output
+    * carries exactly the input columns plus `session_index`. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long, tieCol: String): DataFrame = {
     val sec = col(tsCol).cast("long")
     val w = Window.partitionBy(keyCol).orderBy(sec, col(tieCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__sec", sec)
-      .withColumn("__prev", lag(col("__sec"), 1).over(w))
+    df.withColumn("__prev", lag(sec, 1).over(w))
       .withColumn("__new",
-        when(col("__prev").isNull || col("__sec") - col("__prev") > gapSeconds, 1L)
+        when(col("__prev").isNull || sec - col("__prev") > gapSeconds, 1L)
           .otherwise(0L))
       .withColumn("session_index", sum(col("__new")).over(run))
       .drop("__prev", "__new")
@@ -38,11 +38,13 @@ object Sessionize {
 
   /** Per-session rollup: event count and span (seconds, floored). */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
-                   gapSeconds: Long, tieCol: String): DataFrame =
+                   gapSeconds: Long, tieCol: String): DataFrame = {
+    val sec = col(tsCol).cast("long")
     sessionize(df, keyCol, tsCol, gapSeconds, tieCol)
       .groupBy(col(keyCol), col("session_index"))
       .agg(count(lit(1)).as("n_events"),
-        (max(col("__sec")) - min(col("__sec"))).as("span_s"))
+        (max(sec) - min(sec)).as("span_s"))
+  }
 
   /** Interval (range) join: every left row matched to right rows of the same
     * key whose timestamp falls in [leftTs - windowSeconds, leftTs]. The

@@ -21,6 +21,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // the brute-force ANN θ-join broadcasts its tiny query side
+    // (BroadcastNestedLoopJoin — fine); an unbroadcast cartesian anywhere in
+    // the surface is always a scale bug
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan.toString
+      val physical = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("entry (flagship star join) returns the per-nation revenue rows") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty && rows.forall(!_.anyNull))
