@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -50,10 +49,25 @@ object Similarity {
         .otherwise(floor(x / m * lit(127.0) + lit(0.5)).cast("int")))
   }
 
+  /** Rank scored (query, candidate, sim) pairs to per-query top-k via the
+    * bounded [[graft.functions.TopKAgg]] aggregate: each input partition
+    * keeps at most k entries per query (map-side partial), so the shuffle
+    * carries O(Q·k·partitions) rows instead of every scored pair — and
+    * nothing is globally sorted. Ordering (sim DESC, id ASC) matches the
+    * window formulation bit-for-bit. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(k)(col("candidate_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("candidate_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t.score").as("sim"))
+
   /** Brute-force cosine top-k: every query against every candidate.
     * Queries are broadcast (they must be small — that's the contract of
-    * this baseline); candidates stream through in one scan, and the window
-    * per query id is a partial top-k (rank ≤ k filter). */
+    * this baseline); candidates stream through in one scan, and the
+    * bounded top-k aggregate ([[rankTopK]]) keeps the ranking shuffle at
+    * O(Q·k), never materializing a sorted pair list. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // norms hoisted to one column per vector: cosine() inline would refold
@@ -64,13 +78,11 @@ object Similarity {
     val c = candidates.select(col(idCol).as("candidate_id"),
         toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("candidate_id"))
-    q.join(c, col("query_id") =!= col("candidate_id"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "candidate_id", "rank", "sim")
+    rankTopK(
+      q.join(c, col("query_id") =!= col("candidate_id"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select("query_id", "candidate_id", "sim"),
+      k)
   }
 
   /** Driver-collected centroid list `(cell_id, centroid, norm)`. The coarse
@@ -179,17 +191,14 @@ object Similarity {
       cells, "qv", nprobe, "cell")
       .withColumn("qn", l2Norm(col("qv")))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("candidate_id"))
     // no pair-dedup needed: a candidate lives in exactly one cell and a
     // query's probe cells are distinct, so a pair can meet at most once
-    cands.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("candidate_id"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .select("query_id", "candidate_id", "sim")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "candidate_id", "rank", "sim")
+    rankTopK(
+      cands.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("candidate_id"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select("query_id", "candidate_id", "sim"),
+      k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
