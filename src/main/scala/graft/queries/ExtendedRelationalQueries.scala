@@ -155,7 +155,19 @@ object ExtendedRelationalQueries {
         round(col("q75"), 4).cast(DecimalType(18, 4)).cast("double").as("q75"))
       .orderBy("l_returnflag")
 
+  /** UNPIVOT (wide → long): part's numeric attributes melted to
+    * (key, attr, val) rows via the native Dataset.unpivot. */
+  def unpivotAttrs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "attr", "val")
+      .orderBy("p_partkey", "attr")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"        -> (unpivotAttrs _),
     "q_grouping_sets"  -> (groupingSetsAgg _),
     "q_quantiles"      -> (quantilesAgg _),
     "q_collect_agg"    -> (collectAgg _),
@@ -172,6 +184,11 @@ object ExtendedRelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+         UNION ALL
+         SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+         ORDER BY p_partkey, attr""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders

@@ -97,6 +97,21 @@ object WindowQueries {
     only.unionByName(both).orderBy("relation", "user_id")
   }
 
+  /** Time-series gap filling: hourly event counts with MISSING hours
+    * materialized at 0 — the hour spine comes from `sequence(min, max)`
+    * (a 1-row broadcast, then a generator), left-joined to the actual
+    * counts. The standard resampling shape dashboards need. */
+  def gapFilledHourly(s: SparkSession, d: String): DataFrame = {
+    val hours = events(s, d).select(date_trunc("hour", col("ts")).as("h"))
+    val counts = hours.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val spine = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    spine.join(counts, Seq("h"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("hour")
+  }
+
   /** SCD Type 2 over the event log ([[graft.operators.Scd]]): each user
     * event versioned with a validity interval; the open row is current. */
   def scd2Versions(s: SparkSession, d: String): DataFrame =
@@ -154,6 +169,7 @@ object WindowQueries {
     "q_set_ops"        -> (setOps _),
     "q_scd2"           -> (scd2Versions _),
     "q_json_funcs"     -> (jsonFuncs _),
+    "q_gapfill"        -> (gapFilledHourly _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,6 +239,16 @@ object WindowQueries {
          UNION ALL
          SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
          ORDER BY relation, user_id""",
+    "q_gapfill" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+            c AS (SELECT h, count(*) AS cnt FROM e GROUP BY h),
+            s AS (SELECT unnest(generate_series((SELECT min(h) FROM e),
+                                                (SELECT max(h) FROM e),
+                                                INTERVAL 1 HOUR)) AS h)
+         SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                coalesce(c.cnt, 0) AS cnt
+         FROM s LEFT JOIN c ON s.h = c.h
+         ORDER BY hour""",
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id,
                            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
