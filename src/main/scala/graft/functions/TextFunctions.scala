@@ -74,6 +74,30 @@ object TextFunctions {
     floor(hits * lit(10000) / size(w)).cast("long")
   }
 
+  /** Word-repetition ratio in basis points (duplicated words / words,
+    * floor-divided — integer arithmetic, exact cross-engine parity). High
+    * repetition is the classic low-quality / boilerplate signal. */
+  def repetitionBp(text: Column): Column = {
+    val w = split(text, " ")
+    floor((size(w) - size(array_distinct(w))) * lit(10000) / size(w)).cast("long")
+  }
+
+  /** Shannon character entropy in nats — low entropy flags repetitive or
+    * degenerate text, high entropy flags binary noise. Order-stable for the
+    * oracle: the distinct characters are SORTED before the fold, so every
+    * engine sums the p·ln(p) terms in the same sequence. O(distinct·len)
+    * per row, still map-only. */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = length(text).cast("double")
+    val uniq = array_sort(array_distinct(chars))
+    when(length(text) === 0, lit(0.0)).otherwise(
+      -aggregate(uniq, lit(0.0), (acc, c) => {
+        val p = size(filter(chars, x => x === c)).cast("double") / n
+        acc + p * log(p)
+      }))
+  }
+
   /** Deterministic document fingerprint: md5 of the normalized text
     * (lowercase, alphanumerics only) — an exact-dedup key that survives
     * whitespace/punctuation jitter. */

@@ -178,23 +178,40 @@ object Similarity {
               numCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroidsOverride: Option[DataFrame] = None): DataFrame = {
-    val cells = cellsLiteral(collectCells(centroidsOverride.getOrElse(
+    val centroids = centroidsOverride.getOrElse(
       vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))))
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+    ivfTopKAssigned(assignCells(vectors, centroids, idCol, vecCol),
+      queries, centroids, k, nprobe, idCol, vecCol)
+  }
 
-    val cands = withNearestCells(
+  /** The assignment pass as a standalone, reusable step: each vector gets
+    * its nearest-centroid `cell` (map-only). THIS is what you persist —
+    * `assignCells(corpus, centroids).write.bucketBy(n, "cell")…` — so that
+    * every later query batch calls [[ivfTopKAssigned]] and pays zero
+    * assignment cost: the C·N scoring pass amortizes to one-time. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withNearestCells(
       vectors.select(col(idCol).as("candidate_id"), toDouble(col(vecCol)).as("cv")),
-      cells, "cv", 1, "cell")
+      cellsLiteral(collectCells(centroids)), "cv", 1, "cell")
       .withColumn("cn", l2Norm(col("cv")))
+
+  /** IVF search over a PRE-ASSIGNED candidate table ([[assignCells]] output,
+    * typically read back from a cell-bucketed layout). Only the query side
+    * is scored against centroids — nprobe cells each — then broadcast. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probes = withNearestCells(
       queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
-      cells, "qv", nprobe, "cell")
+      cellsLiteral(collectCells(centroids)), "qv", nprobe, "cell")
       .withColumn("qn", l2Norm(col("qv")))
 
     // no pair-dedup needed: a candidate lives in exactly one cell and a
     // query's probe cells are distinct, so a pair can meet at most once
     rankTopK(
-      cands.join(broadcast(probes), Seq("cell"))
+      assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("query_id") =!= col("candidate_id"))
         .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .select("query_id", "candidate_id", "sim"),

@@ -62,6 +62,18 @@ object TextQueries {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
 
+  /** Second quality family: word repetition (boilerplate signal) + Shannon
+    * character entropy (degenerate-text / binary-noise signal). */
+  def repetitionEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        repetitionBp(col("text")).as("repetition_bp"),
+        round(charEntropy(col("text")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+          .as("char_entropy"))
+      .orderBy("doc_id")
+
   /** Multimodal plumbing surface (the decode itself is stubbed — no codec
     * libs in this container): opaque binary payload + typed metadata. The
     * oracle checks byte length and content hash of the binary column. */
@@ -79,6 +91,7 @@ object TextQueries {
     "q_token_count"       -> (tokenCounts _),
     "q_ngram_cardinality" -> (ngramCardinality _),
     "q_quality_score"     -> (qualityScore _),
+    "q_repetition"        -> (repetitionEntropy _),
     "q_lang_id"           -> (langId _),
     "q_fingerprint"       -> (fingerprints _),
     "q_dedup_exact"       -> (dedupExact _),
@@ -107,6 +120,24 @@ object TextQueries {
                            / len(string_split(text, ' '))) AS BIGINT) AS stopword_bp,
                 len(string_split(text, ' ')) AS n_words
          FROM documents ORDER BY doc_id""",
+    // entropy fold mirrors Spark exactly: distinct chars SORTED, then
+    // sum(p*ln p) in that order (list_reduce's first-element seed equals
+    // aggregate's 0.0+x seed bit-for-bit)
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                           string_split(text, '') AS cs,
+                           CAST(length(text) AS DOUBLE) AS n
+                    FROM documents)
+         SELECT doc_id,
+                CAST(floor((len(w) - len(list_distinct(w))) * 10000 / len(w)) AS BIGINT) AS repetition_bp,
+                CAST(CAST(round(
+                  CASE WHEN n = 0 THEN 0.0 ELSE
+                    -list_reduce(list_transform(list_sort(list_distinct(cs)),
+                       c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+                            * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)),
+                       (a,b) -> a + b)
+                  END, 6) AS DECIMAL(18,6)) AS DOUBLE) AS char_entropy
+         FROM t ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH scored AS (
            SELECT doc_id, lang,

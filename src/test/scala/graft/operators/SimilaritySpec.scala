@@ -126,6 +126,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pre-assigned IVF (the bucketed-write amortization path) matches inline IVF") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell_id"),
+        Similarity.toDouble(col("embedding")).as("centroid"))
+    val inline = Similarity.ivfTopK(emb, queries, k = 5).collect().toSet
+    // round-trip the assignment through parquet, as a bucketed layout would
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.assignCells(emb, centroids).write.mode("overwrite").parquet(dir)
+    val preassigned = Similarity.ivfTopKAssigned(
+      spark.read.parquet(dir), queries, centroids, k = 5).collect().toSet
+    assert(preassigned == inline)
+  }
+
   test("k-means with zero iterations returns the deterministic seed centroids") {
     val emb = Tables.embeddings(spark, sf)
     val seeds = Similarity.kmeansCentroids(emb, numCentroids = 4, iters = 0, dim = 64)
