@@ -166,7 +166,29 @@ object ExtendedRelationalQueries {
         "attr", "val")
       .orderBy("p_partkey", "attr")
 
+  /** MERGE-INTO semantics ([[graft.ops.Upsert]]): orders merged with a
+    * deterministic corrections batch — every key divisible by 10 gets a
+    * repriced row (update), and shifted-key copies of keys divisible by
+    * 1000 append (insert). */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val target = orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast(DecimalType(12, 2)).cast("double").as("o_totalprice"))
+    // reprice in DECIMAL: round(double*1.1, 2) straddles cent boundaries
+    // differently per engine; exact decimal product + half-up cast does not
+    val updates = target.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(12, 2)) *
+          lit(new java.math.BigDecimal("1.1")).cast(DecimalType(3, 1)))
+          .cast(DecimalType(12, 2)).cast("double"))
+    val inserts = target.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    graft.ops.Upsert.upsert(target, updates.unionByName(inserts), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert"   -> (mergeUpsert _),
     "q_unpivot"        -> (unpivotAttrs _),
     "q_grouping_sets"  -> (groupingSetsAgg _),
     "q_quantiles"      -> (quantilesAgg _),
@@ -184,6 +206,24 @@ object ExtendedRelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH target AS (SELECT o_orderkey, o_custkey,
+                                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+                         FROM orders),
+            -- explicit round(): DuckDB's decimal downscale CAST truncates,
+            -- Spark's rounds half-up — round() rounds in both
+            src AS (SELECT o_orderkey, o_custkey,
+                           CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+                                AS DOUBLE) AS o_totalprice
+                    FROM target WHERE o_orderkey % 10 = 0
+                    UNION ALL
+                    SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+                    FROM target WHERE o_orderkey % 1000 = 0)
+         SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+         FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
     "q_unpivot" ->
       """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
          UNION ALL
