@@ -86,6 +86,19 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** Distribution ranks: ntile / percent_rank / cume_dist over one
+    * per-user ordering (deterministic: event_id breaks all ties; the two
+    * ratio ranks round through DECIMAL like every float output). */
+  def distributionRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).cast(DecimalType(18, 6)).cast("double").as("pct_rank"),
+        round(cume_dist().over(w), 6).cast(DecimalType(18, 6)).cast("double").as("cume"))
+      .orderBy("event_id")
+  }
+
   /** EXCEPT / INTERSECT set operations: user-id sets of two event slices
     * (purchase-but-never-error, purchase-and-error). */
   def setOps(s: SparkSession, d: String): DataFrame = {
@@ -166,6 +179,7 @@ object WindowQueries {
     "q_sessionize"     -> (sessionStats _),
     "q_range_join"     -> (purchasesWithRecentSignups _),
     "q_window_lag"     -> (lagLead _),
+    "q_window_ntile"   -> (distributionRanks _),
     "q_set_ops"        -> (setOps _),
     "q_scd2"           -> (scd2Versions _),
     "q_json_funcs"     -> (jsonFuncs _),
@@ -229,6 +243,14 @@ object WindowQueries {
                 last_value(event_id) OVER (PARTITION BY user_id
                   ORDER BY CAST(ts AS TIMESTAMP), event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY event_id""",
+    "q_window_ntile" ->
+      """SELECT event_id, user_id,
+                ntile(4) OVER w AS quartile,
+                CAST(CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS pct_rank,
+                CAST(CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cume
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
          ORDER BY event_id""",
