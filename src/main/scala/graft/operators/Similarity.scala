@@ -178,34 +178,30 @@ object Similarity {
               numCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroidsOverride: Option[DataFrame] = None): DataFrame = {
-    val centroids = centroidsOverride.getOrElse(
+    // collect the centroid table ONCE and share it between the candidate
+    // assignment and the probe scoring — two collectCells would run the
+    // centroid plan (a TakeOrdered job on the corpus) twice
+    val cells = collectCells(centroidsOverride.getOrElse(
       vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
-    ivfTopKAssigned(assignCells(vectors, centroids, idCol, vecCol),
-      queries, centroids, k, nprobe, idCol, vecCol)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+    searchAssigned(assignWith(vectors, cells, idCol, vecCol),
+      queries, cells, k, nprobe, idCol, vecCol)
   }
 
-  /** The assignment pass as a standalone, reusable step: each vector gets
-    * its nearest-centroid `cell` (map-only). THIS is what you persist —
-    * `assignCells(corpus, centroids).write.bucketBy(n, "cell")…` — so that
-    * every later query batch calls [[ivfTopKAssigned]] and pays zero
-    * assignment cost: the C·N scoring pass amortizes to one-time. */
-  def assignCells(vectors: DataFrame, centroids: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+  private def assignWith(vectors: DataFrame, cells: Seq[(Long, Seq[Double], Double)],
+                         idCol: String, vecCol: String): DataFrame =
     withNearestCells(
       vectors.select(col(idCol).as("candidate_id"), toDouble(col(vecCol)).as("cv")),
-      cellsLiteral(collectCells(centroids)), "cv", 1, "cell")
+      cellsLiteral(cells), "cv", 1, "cell")
       .withColumn("cn", l2Norm(col("cv")))
 
-  /** IVF search over a PRE-ASSIGNED candidate table ([[assignCells]] output,
-    * typically read back from a cell-bucketed layout). Only the query side
-    * is scored against centroids — nprobe cells each — then broadcast. */
-  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
-                      centroids: DataFrame, k: Int, nprobe: Int = 4,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def searchAssigned(assigned: DataFrame, queries: DataFrame,
+                             cells: Seq[(Long, Seq[Double], Double)],
+                             k: Int, nprobe: Int,
+                             idCol: String, vecCol: String): DataFrame = {
     val probes = withNearestCells(
       queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
-      cellsLiteral(collectCells(centroids)), "qv", nprobe, "cell")
+      cellsLiteral(cells), "qv", nprobe, "cell")
       .withColumn("qn", l2Norm(col("qv")))
 
     // no pair-dedup needed: a candidate lives in exactly one cell and a
@@ -217,6 +213,23 @@ object Similarity {
         .select("query_id", "candidate_id", "sim"),
       k)
   }
+
+  /** The assignment pass as a standalone, reusable step: each vector gets
+    * its nearest-centroid `cell` (map-only). THIS is what you persist —
+    * `assignCells(corpus, centroids).write.bucketBy(n, "cell")…` — so that
+    * every later query batch calls [[ivfTopKAssigned]] and pays zero
+    * assignment cost: the C·N scoring pass amortizes to one-time. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignWith(vectors, collectCells(centroids), idCol, vecCol)
+
+  /** IVF search over a PRE-ASSIGNED candidate table ([[assignCells]] output,
+    * typically read back from a cell-bucketed layout). Only the query side
+    * is scored against centroids — nprobe cells each — then broadcast. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    searchAssigned(assigned, queries, collectCells(centroids), k, nprobe, idCol, vecCol)
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
     * the embedding-space cousin of [[Dedup.minhashNearDuplicates]].
@@ -231,16 +244,19 @@ object Similarity {
     val cells = cellsLiteral(collectCells(
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+    // norms hoisted per row (not per pair): cosine() inline would refold
+    // both norms for every in-cell pair
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2Norm(col("v")))
     val a = withNearestCells(v, cells, "v", 1, "cell")
-      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
     val b = withNearestCells(v, cells, "v", nprobe, "cell")
-      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
     // sim computed (and thresholded) BEFORE the pair-dedup, so the distinct
     // shuffles only (id, id, sim) scalars — never the vectors themselves
     a.join(b, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
