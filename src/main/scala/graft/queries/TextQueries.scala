@@ -62,6 +62,17 @@ object TextQueries {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
 
+  /** Corpus heavy hitters, exact: the 20 most frequent words overall.
+    * Explode → partial-aggregate count → top-k; the scale-bounded sibling
+    * is [[graft.functions.FreqSketch]] (Misra–Gries, O(k) state). */
+  def topWords(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
   /** Second quality family: word repetition (boilerplate signal) + Shannon
     * character entropy (degenerate-text / binary-noise signal). */
   def repetitionEntropy(s: SparkSession, d: String): DataFrame =
@@ -92,6 +103,7 @@ object TextQueries {
     "q_ngram_cardinality" -> (ngramCardinality _),
     "q_quality_score"     -> (qualityScore _),
     "q_repetition"        -> (repetitionEntropy _),
+    "q_top_words"         -> (topWords _),
     "q_lang_id"           -> (langId _),
     "q_fingerprint"       -> (fingerprints _),
     "q_dedup_exact"       -> (dedupExact _),
@@ -120,6 +132,10 @@ object TextQueries {
                            / len(string_split(text, ' '))) AS BIGINT) AS stopword_bp,
                 len(string_split(text, ' ')) AS n_words
          FROM documents ORDER BY doc_id""",
+    "q_top_words" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
     // entropy fold mirrors Spark exactly: distinct chars SORTED, then
     // sum(p*ln p) in that order (list_reduce's first-element seed equals
     // aggregate's 0.0+x seed bit-for-bit)
