@@ -70,6 +70,17 @@ object CurationPipeline {
     (result, stages.toSeq)
   }
 
+  /** Boilerplate report: the corpus's dominant words via the bounded
+    * Misra–Gries sketch ([[graft.functions.FreqSketch]]) — O(k) state at
+    * any corpus size, exploded to (word, est_count) rows sorted by weight.
+    * Feed the result into a stopword/boilerplate filter list. */
+  def boilerplateReport(docs: DataFrame, textCol: String = "text",
+                        k: Int = 32): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .agg(graft.functions.FreqSketch.heavy_hitters(k)(col("word")).as("hh"))
+      .select(explode(col("hh")).as(Seq("word", "est_count")))
+      .orderBy(col("est_count").desc, col("word"))
+
   /** Embedding-side curation, composed from the ANN operators:
     *
     *   1. cosine near-duplicate removal (cell-blocked multi-probe; from

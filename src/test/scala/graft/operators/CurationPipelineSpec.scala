@@ -63,6 +63,12 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(rows(1L).last == 127) // the max-magnitude element quantizes to full scale
   }
 
+  test("boilerplate report surfaces the dominant corpus words") {
+    val top = CurationPipeline.boilerplateReport(docs, k = 8)
+      .collect().map(_.getString(0))
+    assert(top.contains("the"), s"'the' dominates this corpus, got ${top.toSeq}")
+  }
+
   test("map-only claims hold: minhash/simhash signature plans have no Exchange") {
     val sigPlan = Dedup.withMinhashSignature(docs, "text")
       .queryExecution.executedPlan.toString
