@@ -5,11 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional trailing args: run only the named queries (local iteration)
+    val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.util.Sessions.build("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => subset(n) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

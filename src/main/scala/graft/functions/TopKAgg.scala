@@ -21,8 +21,14 @@ object TopKAgg {
   /** One scored candidate. */
   case class Scored(id: Long, score: Double)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order via `java.lang.Double.compare`, which (like Spark's window
+    * sort) ranks NaN greater than every finite double and equal to itself —
+    * so a NaN-scored candidate (0/0 cosine from a zero-norm vector) lands
+    * exactly where the `row_number` DESC window would put it: first. */
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Insert into a descending-sorted bounded list (k is small — single-digit
     * in ANN use — so linear insertion beats heap constant factors). */

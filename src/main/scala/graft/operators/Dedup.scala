@@ -217,7 +217,11 @@ object Dedup {
     val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .filter(least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      // spelled as the DIVISION (not `least >= t * greatest`): when the
+      // smaller set is contained in the larger, J = min/max computed by this
+      // exact float op, so a boundary pair (J == t) the Jaccard filter keeps
+      // can never be dropped here by a rounding mismatch
+      .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= lit(threshold))
       .withColumn("jaccard", TextFunctions.sortedJaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -84,12 +84,18 @@ object Multimodal {
       Some((le16(6), le16(8)))
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
-      while (i + 9 < p.length && u8(i) == 0xff) {
+      while (i + 1 < p.length && u8(i) == 0xff) {
+        // 0xFF fill bytes are legal padding between segments — skip runs
+        while (i + 1 < p.length && u8(i + 1) == 0xff) i += 1
         val marker = u8(i + 1)
-        val isSof = marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof) return Some((be16(i + 7), be16(i + 5)))
-        i += 2 + be16(i + 2)
+        val standalone = marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)
+        if (standalone) i += 2 // TEM / RSTn / SOI / EOI carry no length field
+        else if (i + 9 < p.length) {
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) return Some((be16(i + 7), be16(i + 5)))
+          i += 2 + be16(i + 2)
+        } else return None
       }
       None
     } else None

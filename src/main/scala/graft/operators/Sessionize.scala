@@ -49,13 +49,22 @@ object Sessionize {
   /** Interval (range) join: every left row matched to right rows of the same
     * key whose timestamp falls in [leftTs - windowSeconds, leftTs]. The
     * equi-key keeps the join hash/sort-merge partitioned; the range predicate
-    * evaluates post-match — no cartesian explosion. */
+    * evaluates post-match — no cartesian explosion.
+    *
+    * Both inputs are aliased so every join reference is qualified: the two
+    * sides often derive from the SAME source frame (self-join on an event
+    * log) and may share the timestamp column name — unqualified `col(...)`
+    * would be ambiguous, and same-lineage `left(k) === right(k)` triggers
+    * Spark's trivially-true-predicate rewrite. */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
                 leftTs: String, rightTs: String, windowSeconds: Long): DataFrame = {
-    val l = col(leftTs).cast("long")
-    val r = col(rightTs).cast("long")
-    left.join(right,
-      left(keyCol) === right(keyCol) && r >= l - windowSeconds && r <= l)
-      .drop(right(keyCol))
+    val la = left.alias("__rj_l")
+    val ra = right.alias("__rj_r")
+    val l = col(s"__rj_l.$leftTs").cast("long")
+    val r = col(s"__rj_r.$rightTs").cast("long")
+    la.join(ra,
+      col(s"__rj_l.$keyCol") === col(s"__rj_r.$keyCol") &&
+        r >= l - windowSeconds && r <= l)
+      .drop(col(s"__rj_r.$keyCol"))
   }
 }

@@ -68,6 +68,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseDims("not an image".getBytes("UTF-8")) == None)
   }
 
+  test("JPEG walk survives fill bytes and length-less standalone markers") {
+    def be16(v: Int) = Array(v >>> 8, v & 0xff).map(_.toByte)
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    // 0xFF padding run, then a standalone TEM (FF01) and RST0 (FFD0) —
+    // none carry a length field — then the real SOF0
+    val pad = Array(0xff, 0xff, 0xff).map(_.toByte)
+    val tem = Array(0xff, 0x01).map(_.toByte)
+    val rst = Array(0xff, 0xd0).map(_.toByte)
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++
+      Array(8.toByte) ++ be16(77) ++ be16(99) ++ Array.fill(4)(0.toByte)
+    assert(Multimodal.parseDims(soi ++ pad ++ tem ++ rst ++ sof0) == Some((99, 77)))
+    // truncated stream (marker but no room for a length) returns None, not garbage
+    assert(Multimodal.parseDims(soi ++ Array(0xff, 0xe0).map(_.toByte)) == None)
+  }
+
   test("HeaderDecoder extracts real dims, falls back to stub dims otherwise") {
     import spark.implicits._
     val df = Seq(
