@@ -198,29 +198,46 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Blocked pairwise n-gram (word-set) Jaccard — the verify-everything
-    * baseline for corpora small enough to pair within blocks.
+  /** Pairwise n-gram (word-set) Jaccard within blocks — cost-based
+    * candidate generation ([[PairCandidates]]): while the largest block
+    * stays under `autoBlockBound`, per-block all-pairs is the cheapest
+    * plan and its pair count is BOUNDED (≤ bound²/2 per block, corpus-
+    * size-independent); the moment a block outgrows the bound — the
+    * single-language boilerplate-heavy case where block² turns quadratic
+    * — candidates come from the lossless PPJoin-style rare-token prefix
+    * filter instead, whose candidate count grows ~linearly with block
+    * size. Both generators are supersets of the true pair set, so the
+    * result is identical either way.
     *
-    * Scale shape, two cheap prunes before any exact set work:
-    *   - `J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)` → a length-ratio prefilter
-    *     (`least ≥ t·greatest`) discards size-mismatched pairs;
+    * Verification, two cheap prunes before the exact merge:
+    *   - `J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)` → a length-ratio prefilter,
+    *     spelled as the DIVISION (not `least ≥ t·greatest`): when the
+    *     smaller set is contained in the larger, J = min/max computed by
+    *     this exact float op, so a boundary pair (J == t) the Jaccard
+    *     filter keeps can never be dropped here by a rounding mismatch;
     *   - surviving pairs are scored by [[TextFunctions.sortedJaccard]]: the
-    *     word set is sorted ONCE per document, so each of the O(block²)
-    *     pairs costs a single allocation-free merge scan instead of a
-    *     hash-set union. */
+    *     word set is sorted ONCE per document, so each candidate costs a
+    *     single allocation-free merge scan instead of a hash-set union. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockExpr: Column, threshold: Double): DataFrame = {
+                   blockExpr: Column, threshold: Double,
+                   autoBlockBound: Int = 1024): DataFrame = {
     val prepared = df.select(col(idCol).as("id"), blockExpr.as("block"),
       array_sort(TextFunctions.words(col(textCol))).as("w"))
       .withColumn("n", size(col("w")))
-    val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a"))
-    val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      // spelled as the DIVISION (not `least >= t * greatest`): when the
-      // smaller set is contained in the larger, J = min/max computed by this
-      // exact float op, so a boundary pair (J == t) the Jaccard filter keeps
-      // can never be dropped here by a rounding mismatch
+    // blocked path: ONE self-join carrying the word arrays — no join-back;
+    // prefix path: ids-only candidate shuffle, arrays joined back once per
+    // side (at scale the candidate stage must never shuffle documents)
+    val paired =
+      if (PairCandidates.maxBlockSize(prepared.select("id", "block", "w")) <= autoBlockBound) {
+        val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a"))
+        val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b"))
+        a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      } else {
+        PairCandidates.jaccardPrefixCandidates(prepared.select("id", "block", "w"), threshold)
+          .join(prepared.select(col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a")), Seq("id_a"))
+          .join(prepared.select(col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b")), Seq("id_b"))
+      }
+    paired
       .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= lit(threshold))
       .withColumn("jaccard", TextFunctions.sortedJaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= threshold)

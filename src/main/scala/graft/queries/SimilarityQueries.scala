@@ -151,18 +151,31 @@ object SimilarityQueries {
 
   /** Edit-distance near-dup pairs: 40-char-prefix Levenshtein ≤ 10 within
     * (lang, 10-char length bucket) blocks, closest 50 pairs. The prefix cap
-    * bounds the O(n·m) DP per pair — full-text edit distance over block²
-    * pairs is quadratic in document length and unnecessary for near-dup
-    * triage (prefix agreement is the signal). */
+    * bounds the O(n·m) DP per pair; candidate generation is cost-based
+    * ([[graft.operators.PairCandidates]]): bounded per-block all-pairs
+    * while blocks are small, the lossless q-gram count filter
+    * ([[graft.operators.PairCandidates.editDistanceCandidates]]) once a
+    * block outgrows the bound, so the DP pair count never turns
+    * quadratic with corpus growth. */
   def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PairCandidates
     val docs = documents(s, d).select(
-      col("doc_id"),
-      substring(col("text"), 1, 40).as("prefix"),
+      col("doc_id").as("id"),
+      substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
-    val a = docs.select(col("block"), col("doc_id").as("id_a"), col("prefix").as("p_a"))
-    val b = docs.select(col("block"), col("doc_id").as("id_b"), col("prefix").as("p_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
+    // blocked path: one self-join carrying the prefixes; q-gram path:
+    // ids-only candidates, prefixes joined back for the DP
+    val paired =
+      if (PairCandidates.maxBlockSize(docs) <= 1024) {
+        val a = docs.select(col("block"), col("id").as("id_a"), col("s").as("p_a"))
+        val b = docs.select(col("block"), col("id").as("id_b"), col("s").as("p_b"))
+        a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      } else {
+        PairCandidates.editDistanceCandidates(docs, maxDist = 10)
+          .join(docs.select(col("id").as("id_a"), col("s").as("p_a")), Seq("id_a"))
+          .join(docs.select(col("id").as("id_b"), col("s").as("p_b")), Seq("id_b"))
+      }
+    paired
       .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
       .filter(col("lev") <= 10)
       .select("id_a", "id_b", "lev")
