@@ -59,6 +59,29 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Amortized IVF — the production shape (VERDICT round 2, next-round #2):
+    * the corpus' nearest-cell assignment is computed ONCE and persisted
+    * ([[Similarity.assignCells]] → parquet; at scale a cell-bucketed
+    * layout), then every query batch reads it back and pays zero
+    * assignment cost ([[Similarity.ivfTopKAssigned]] scores only the
+    * query side against the centroids). Stage-for-stage identical to
+    * [[cosineTopKIvf]], so the same oracle SQL checks it value-for-value
+    * (double arrays round-trip parquet exactly). */
+  def cosineTopKIvfAssigned(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell_id"),
+        Similarity.toDouble(col("embedding")).as("centroid"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_assigned_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    Similarity.assignCells(emb, centroids).write.mode("overwrite").parquet(dir)
+    Similarity.ivfTopKAssigned(s.read.parquet(dir),
+        emb.filter(col("vec_id") < 64), centroids, k = 5)
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Blocked pairwise word-set Jaccard: top-50 most similar document pairs
     * within (lang, length-bucket) blocks — n-gram Jaccard near-dup surface,
     * fully oracle-checkable (no hash functions involved). A real threshold
@@ -204,6 +227,7 @@ object SimilarityQueries {
     "q_embed_norm"      -> (embedNorm _),
     "q_cosine_topk"     -> (cosineTopK _),
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
+    "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_arith"   -> (minhashArith _),
     "q_simhash_arith"   -> (simhashArith _),
@@ -246,6 +270,40 @@ object SimilarityQueries {
     // sequential aggregate() so the doubles are bit-identical.
     "q_cosine_topk_ivf" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            nv AS (SELECT vec_id, ve,
+                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
+                   FROM v),
+            cents AS (SELECT vec_id AS cell_id, ve AS cv, vn AS cn
+                      FROM nv ORDER BY vec_id LIMIT 16),
+            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
+                            list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
+                            / c.cn AS csim
+                     FROM nv n CROSS JOIN cents c),
+            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM asim),
+            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
+            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells
+                      WHERE cr <= 4 AND vec_id < 64),
+            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                             list_reduce(list_transform(range(1, len(p.ve) + 1),
+                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
+                             / (p.vn * a.vn) AS sim
+                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+            ranked AS (SELECT query_id, candidate_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, candidate_id) AS rank,
+                              sim
+                       FROM pairs)
+         SELECT query_id, candidate_id, rank,
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // same stage-for-stage pipeline, searched from the persisted assignment
+    "q_cosine_topk_ivf_assigned" -> """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
                     FROM embeddings),
             nv AS (SELECT vec_id, ve,
                           sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn

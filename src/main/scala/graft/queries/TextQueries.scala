@@ -73,6 +73,34 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** Heavy hitters via the Misra–Gries sketch, made exact (VERDICT round 2
+    * next-round #7 + ADVICE determinism note): the O(k)-state sketch — one
+    * pass, mergeable partials — nominates ≤ k candidate words, and its
+    * guarantee says every word with count > n/(k+1) survives ANY partition
+    * merge order. A second bounded pass re-counts only the candidates
+    * exactly and keeps those above the guarantee bound, so the output is
+    * provably equal to exact counting with `HAVING cnt·(k+1) > n` (integer
+    * arithmetic, no float boundary) and fully deterministic — the MG
+    * trim's merge-order wobble never reaches the output. At 100 TB:
+    * pass 1 shuffles O(k·partitions) counters, pass 2 shuffles only rows
+    * matching ≤ k candidate words. */
+  def heavyHittersSketch(s: SparkSession, d: String): DataFrame = {
+    val k = 40
+    val words = documents(s, d).select(explode(split(col("text"), " ")).as("word"))
+    val firstPass = words.agg(
+      graft.functions.FreqSketch.heavy_hitters(k)(col("word")).as("sketch"),
+      count(lit(1)).as("n")).head()
+    val survivors = firstPass.getMap[String, Long](0).keys.toSeq
+    val n = firstPass.getLong(1)
+    val recounted = words
+      .filter(col("word").isInCollection(survivors))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k + 1) > lit(n))
+      .orderBy(col("cnt").desc, col("word"))
+    if (survivors.isEmpty) recounted.limit(0) else recounted
+  }
+
   /** Second quality family: word repetition (boilerplate signal) + Shannon
     * character entropy (degenerate-text / binary-noise signal). */
   def repetitionEntropy(s: SparkSession, d: String): DataFrame =
@@ -104,6 +132,7 @@ object TextQueries {
     "q_quality_score"     -> (qualityScore _),
     "q_repetition"        -> (repetitionEntropy _),
     "q_top_words"         -> (topWords _),
+    "q_heavy_hitters_sketch" -> (heavyHittersSketch _),
     "q_lang_id"           -> (langId _),
     "q_fingerprint"       -> (fingerprints _),
     "q_dedup_exact"       -> (dedupExact _),
@@ -136,6 +165,14 @@ object TextQueries {
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+    // the sketch's survivor set re-counted exactly == plain exact counting
+    // above the MG guarantee bound (cnt·(k+1) > n, k = 40)
+    "q_heavy_hitters_sketch" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         SELECT word, count(*) AS cnt
+         FROM w GROUP BY word
+         HAVING count(*) * 41 > (SELECT count(*) FROM w)
+         ORDER BY cnt DESC, word""",
     // entropy fold mirrors Spark exactly: distinct chars SORTED, then
     // sum(p*ln p) in that order (list_reduce's first-element seed equals
     // aggregate's 0.0+x seed bit-for-bit)

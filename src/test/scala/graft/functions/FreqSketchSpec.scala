@@ -36,4 +36,31 @@ class FreqSketchSpec extends AnyFunSuite {
     // dominant has freq 60 > 100/3 — guaranteed to survive
     assert(sketch.contains("dominant"))
   }
+
+  test("sketch + exact re-count is deterministic across partition merge orders") {
+    import spark.implicits._
+    // MG sketch CONTENTS vary with merge order (trim is not associative),
+    // but the two-pass construction — survivors re-counted exactly, kept
+    // above the n/(k+1) guarantee — must not (the q_heavy_hitters_sketch
+    // contract)
+    val k = 4
+    val words = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+      Seq.fill(90)("gamma") ++ (0 until 410).map(i => s"noise_$i")
+    def twoPass(parts: Int): Seq[(String, Long)] = {
+      val df = scala.util.Random.shuffle(words).toDF("word").repartition(parts)
+      val first = df.agg(FreqSketch.heavy_hitters(k)(col("word")).as("hh"),
+        count(lit(1)).as("n")).head()
+      val survivors = first.getMap[String, Long](0).keys.toSeq
+      val n = first.getLong(1)
+      df.filter(col("word").isInCollection(survivors))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(k + 1) > lit(n))
+        .orderBy(col("cnt").desc, col("word"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val runs = Seq(twoPass(1), twoPass(3), twoPass(13))
+    assert(runs.distinct.size == 1, s"two-pass result varied: $runs")
+    // alpha (300) and beta (200) exceed n/(k+1) = 200 ... alpha certainly does
+    assert(runs.head.map(_._1).contains("alpha"))
+  }
 }
