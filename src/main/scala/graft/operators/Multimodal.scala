@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` payloads with typed metadata; decode /
   * feature-extract / frame-sample run as partition-local batch functions.
   *
-  * The actual pixel codecs (JPEG/PNG/audio) are NOT present in this
+  * The compressed-format codecs (JPEG/PNG/audio) are NOT present in this
   * container, so [[FakeDecoder]] below is a clearly-marked deterministic
   * STUB — the Spark-side contract (schema, partitioning, batch iteration
   * shape, typed output) is real and tested, and a production deployment
   * swaps the stub for a real codec without touching the plumbing.
-  * [[HeaderDecoder]] and [[parseDims]] ARE real: image dimensions come from
-  * actual PNG/GIF/JPEG header bytes (pure arithmetic, no codec needed);
-  * only pixel-level feature extraction stays stubbed.
+  * [[HeaderDecoder]] and [[parseDims]] ARE real: image dimensions come
+  * from actual PNG/GIF/JPEG/BMP/netpbm header bytes (pure arithmetic, no
+  * codec needed). [[PixelDecoder]] is ALSO real for uncompressed formats:
+  * BMP (BI_RGB 24/32 bpp) and binary PPM/PGM pixel data need only offset
+  * arithmetic, so mean-channel/luma features are computed from actual
+  * pixels; the stub remains only for compressed payloads.
   *
   * Scale notes: decode runs via `mapPartitions` (one decoder instance per
   * partition, amortized setup — the Scala analogue of `mapInPandas` batch
@@ -66,12 +69,109 @@ object Multimodal {
       }
   }
 
+  /** PIXEL decoder for uncompressed formats — REAL mean-channel / luma
+    * features computed by pure offset arithmetic, no codec library:
+    *   - BMP (BI_RGB, 24/32 bpp): pixel array at the header's data offset,
+    *     rows bottom-up (top-down when height is negative), each row
+    *     padded to 4 bytes, samples ordered B,G,R(,A);
+    *   - PPM "P6" / PGM "P5" (binary netpbm): ASCII header (width, height,
+    *     maxval, '#' comments allowed), then raw RGB / gray samples.
+    * Features: [mean_R, mean_G, mean_B, mean_luma(Rec.601), 0…] in [0,1].
+    * Compressed formats fall back to [[HeaderDecoder]] (real dims, stub
+    * features) — the only remaining stub surface. */
+  class PixelDecoder(featureDim: Int = 8) extends Decoder {
+    private val header = new HeaderDecoder(featureDim)
+    def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map { r =>
+        decodePixels(r.payload).fold(header.decode(Iterator(r)).next()) {
+          case (w, h, meanR, meanG, meanB) =>
+            val feats = new Array[Float](featureDim)
+            feats(0) = meanR; feats(1) = meanG; feats(2) = meanB
+            if (featureDim > 3)
+              feats(3) = (0.299 * meanR + 0.587 * meanG + 0.114 * meanB).toFloat
+            MediaFeatures(r.media_id, r.mime, r.payload.length, w, h, feats)
+        }
+      }
+  }
+
+  /** (width, height, meanR, meanG, meanB) for uncompressed BMP / P6 / P5
+    * payloads; None for anything else. */
+  private[operators] def decodePixels(p: Array[Byte]): Option[(Int, Int, Float, Float, Float)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+      val dataOffset = le32(10)
+      val w = le32(18)
+      val hRaw = le32(22)
+      val bpp = le16(28)
+      val compression = le32(30)
+      val h = math.abs(hRaw)
+      val bytesPp = bpp / 8
+      val stride = ((w * bytesPp + 3) / 4) * 4
+      if (compression != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h == 0 ||
+        dataOffset.toLong + stride.toLong * h > p.length) None
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var row = 0
+        while (row < h) {
+          var x = 0
+          val base = dataOffset + row * stride // row order is irrelevant to means
+          while (x < w) {
+            val i = base + x * bytesPp
+            sb += u8(i); sg += u8(i + 1); sr += u8(i + 2)
+            x += 1
+          }
+          row += 1
+        }
+        val n = w.toLong * h * 255
+        Some((w, h, sr.toFloat / n, sg.toFloat / n, sb.toFloat / n))
+      }
+    } else if (p.length >= 2 && p(0) == 'P' && (p(1) == '5' || p(1) == '6')) {
+      val gray = p(1) == '5'
+      // ASCII header: magic, width, height, maxval — whitespace-separated,
+      // '#' comments run to end of line
+      var i = 2
+      def nextInt(): Option[Int] = {
+        while (i < p.length && (p(i).toChar.isWhitespace || p(i) == '#')) {
+          if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+          else i += 1
+        }
+        val start = i
+        while (i < p.length && p(i).toChar.isDigit) i += 1
+        if (i > start) Some(new String(p, start, i - start, "US-ASCII").toInt) else None
+      }
+      (nextInt(), nextInt(), nextInt()) match {
+        case (Some(w), Some(h), Some(maxval))
+          if w > 0 && h > 0 && maxval > 0 && maxval < 256 =>
+          i += 1 // single whitespace byte after maxval, then raw samples
+          val bytesPp = if (gray) 1 else 3
+          if (i.toLong + w.toLong * h * bytesPp > p.length) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var px = 0
+            val total = w * h
+            while (px < total) {
+              val o = i + px * bytesPp
+              if (gray) { val v = u8(o).toLong; sr += v; sg += v; sb += v }
+              else { sr += u8(o); sg += u8(o + 1); sb += u8(o + 2) }
+              px += 1
+            }
+            val n = total.toLong * maxval
+            Some((w, h, sr.toFloat / n, sg.toFloat / n, sb.toFloat / n))
+          }
+        case _ => None
+      }
+    } else None
+  }
+
   /** (width, height) from real image headers:
     *   - PNG: big-endian 32-bit at offsets 16/20 (8-byte signature, 4-byte
     *     chunk length, "IHDR", then width/height);
     *   - GIF: little-endian 16-bit logical screen size at offsets 6/8;
     *   - JPEG: walk the marker segments to the first SOF frame header
-    *     (height then width, big-endian 16-bit at +5/+7).
+    *     (height then width, big-endian 16-bit at +5/+7);
+    *   - BMP / PPM / PGM: via [[decodePixels]]' header arithmetic.
     * Returns None for anything else (caller decides the fallback). */
   def parseDims(p: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = p(i) & 0xff
@@ -98,7 +198,12 @@ object Multimodal {
         } else return None
       }
       None
-    } else None
+    } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      Some((le32(18), math.abs(le32(22))))
+    } else if (p.length >= 2 && p(0) == 'P' && (p(1) == '5' || p(1) == '6'))
+      decodePixels(p).map(t => (t._1, t._2))
+    else None
   }
 
   /** PNG signature test as a codegen'd column expression. */

@@ -68,6 +68,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseDims("not an image".getBytes("UTF-8")) == None)
   }
 
+  // crafted uncompressed pixel payloads with exactly-known channel means
+  private def bmpBytes(pixels: Array[Array[(Int, Int, Int)]], bpp: Int = 24): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val bytesPp = bpp / 8
+    val stride = ((w * bytesPp + 3) / 4) * 4
+    val dataOffset = 54
+    val size = dataOffset + stride * h
+    val out = new Array[Byte](size)
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, dataOffset); le32(14, 40)
+    le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = bpp.toByte
+    le32(30, 0) // BI_RGB
+    for (row <- 0 until h; x <- 0 until w) {
+      // BMP stores rows bottom-up: file row 0 = image bottom row
+      val (r, g, b) = pixels(h - 1 - row)(x)
+      val i = dataOffset + row * stride + x * bytesPp
+      out(i) = b.toByte; out(i + 1) = g.toByte; out(i + 2) = r.toByte
+      if (bytesPp == 4) out(i + 3) = 0xff.toByte
+    }
+    out
+  }
+
+  private def ppmBytes(w: Int, h: Int, rgb: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val header = s"P6\n# a comment\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ rgb.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+  }
+
+  test("PixelDecoder computes real channel means for BMP, incl. row padding") {
+    // 3x2 image (stride pads 9 bytes -> 12): all-red top row, all-blue bottom
+    val img = Array(
+      Array((255, 0, 0), (255, 0, 0), (255, 0, 0)),
+      Array((0, 0, 255), (0, 0, 255), (0, 0, 255)))
+    val got = new Multimodal.PixelDecoder().decode(Iterator(
+      Multimodal.MediaRecord(1L, "image/bmp", bmpBytes(img)))).next()
+    assert(got.width == 3 && got.height == 2)
+    assert(math.abs(got.features(0) - 0.5f) < 1e-6) // mean R
+    assert(got.features(1) == 0.0f)                 // mean G
+    assert(math.abs(got.features(2) - 0.5f) < 1e-6) // mean B
+    // luma = 0.299*0.5 + 0.114*0.5
+    assert(math.abs(got.features(3) - (0.299f * 0.5f + 0.114f * 0.5f)) < 1e-6)
+  }
+
+  test("PixelDecoder reads binary PPM with comments; PGM is grayscale") {
+    val ppm = ppmBytes(2, 2, Seq((255, 255, 255), (0, 0, 0), (255, 255, 255), (0, 0, 0)))
+    val got = new Multimodal.PixelDecoder().decode(Iterator(
+      Multimodal.MediaRecord(2L, "image/x-portable-pixmap", ppm))).next()
+    assert(got.width == 2 && got.height == 2)
+    assert(math.abs(got.features(0) - 0.5f) < 1e-6)
+    val pgm = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array(0, 128, 255).map(_.toByte)
+    val gotG = new Multimodal.PixelDecoder().decode(Iterator(
+      Multimodal.MediaRecord(3L, "image/x-portable-graymap", pgm))).next()
+    assert(gotG.width == 3 && gotG.height == 1)
+    assert(math.abs(gotG.features(0) - (383f / (3 * 255))) < 1e-6)
+    assert(gotG.features(0) == gotG.features(1) && gotG.features(1) == gotG.features(2))
+  }
+
+  test("PixelDecoder falls back to header dims for compressed formats") {
+    val got = new Multimodal.PixelDecoder().decode(Iterator(
+      Multimodal.MediaRecord(4L, "image/png", pngBytes(64, 32)))).next()
+    assert(got.width == 64 && got.height == 32) // real dims, stub features
+    // truncated BMP (claims more pixels than bytes) must not crash or lie
+    val bad = bmpBytes(Array(Array((1, 2, 3)))).take(56)
+    val gotBad = new Multimodal.PixelDecoder().decode(Iterator(
+      Multimodal.MediaRecord(5L, "image/bmp", bad))).next()
+    assert(gotBad.width == 1 && gotBad.height == 1) // header dims still real
+  }
+
+  test("parseDims also reads BMP and netpbm headers") {
+    assert(Multimodal.parseDims(bmpBytes(Array(Array((0, 0, 0), (0, 0, 0))))) == Some((2, 1)))
+    assert(Multimodal.parseDims(ppmBytes(2, 2, Seq.fill(4)((0, 0, 0)))) == Some((2, 2)))
+  }
+
   test("JPEG walk survives fill bytes and length-less standalone markers") {
     def be16(v: Int) = Array(v >>> 8, v & 0xff).map(_.toByte)
     val soi = Array(0xff, 0xd8).map(_.toByte)
