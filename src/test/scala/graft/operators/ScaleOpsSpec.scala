@@ -42,6 +42,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("planted skew: AQE splits the hot partition, salting spreads it at plan level") {
+    import spark.implicits._
+    // one hot key carrying 50k rows vs 100 cold keys of 10 rows
+    val big = ((0 until 50000).map(i => ("hot", i)) ++
+      (0 until 100).flatMap(k => (0 until 10).map(i => (s"cold_$k", i)))).toDF("k", "v")
+    val small = (Seq("hot") ++ (0 until 100).map(i => s"cold_$i")).map((_, 1)).toDF("k", "w")
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      // force a shuffle join and shrink AQE's skew thresholds so the test-
+      // sized hot partition qualifies for a runtime split
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val joined = big.join(small, "k")
+      joined.collect() // AQE re-plans during execution; read the final plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark a skew split:\n$plan")
+      // plan-level fallback: the salted join spreads the hot key over >1
+      // reducer partition even where AQE is off (aggregations, single
+      // too-hot key), while a plain shuffle join pins it to exactly one
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      // test data is tiny: AQE coalescing would merge the salted reducers
+      // back together and mask the spread being asserted
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val plainParts = big.join(small, "k").filter($"k" === "hot")
+        .select(spark_partition_id()).distinct().count()
+      val saltedParts = Skew.saltedJoin(big, small, "k", saltFactor = 8)
+        .filter($"k" === "hot")
+        .select(spark_partition_id()).distinct().count()
+      assert(plainParts == 1, s"plain join spread the key over $plainParts partitions")
+      assert(saltedParts > 1, s"salted join did not spread the hot key ($saltedParts)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("saltedSumCount equals plain groupBy aggregation") {
     val ev = Tables.events(spark, sf)
     val plain = ev.groupBy("event_type")
