@@ -14,13 +14,19 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * LongType (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
-    * session builder in this repo). Convert to a microsecond TimestampType
-    * with integer division — a double division would lose precision above
-    * 2^53 ns. DuckDB oracle equivalent: `CAST(ts AS TIMESTAMP)` (ns → µs). */
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver tiers, which
+    * Spark 4 only reads as LongType (`spark.sql.legacy.parquet.nanosAsLong
+    * =true`, set in every session builder in this repo). Convert to a
+    * microsecond TimestampType with integer division — a double division
+    * would lose precision above 2^53 ns. DuckDB oracle equivalent:
+    * `CAST(ts AS TIMESTAMP)` (ns → µs). Derived tiers (tools/ScaleUp)
+    * already store µs timestamps — those pass through untouched. */
   private def nanosToTs(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

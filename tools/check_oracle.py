@@ -17,8 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+import os
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    path = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(path):  # Spark directory-style parquet (derived tiers)
+        path += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
