@@ -73,6 +73,22 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** End-to-end curation declared as an oracle-checked query — the
+    * engine-portable core of [[graft.operators.CurationPipeline]]:
+    * fingerprint dedup (survivor = lowest doc_id), length gate,
+    * stopword-ratio quality gate, language allowlist; output is the
+    * surviving docs with their word counts. The MinHash near-dup stage
+    * stays in the pipeline operator (xxhash64 has no second-engine twin);
+    * every stage here is expressible in both engines. */
+  def curationSurvivors(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .exactByFingerprint(documents(s, d), "text", keepBy = Seq("doc_id"))
+      .filter(length(col("text")).between(20, 100000))
+      .filter(stopwordRatioBp(col("text")) >= 200)
+      .filter(col("lang").isInCollection(Seq("en", "es", "fr", "de")))
+      .select(col("doc_id"), col("lang"), wordCount(col("text")).as("n_words"))
+      .orderBy("doc_id")
+
   /** Heavy hitters via the Misra–Gries sketch, made exact (VERDICT round 2
     * next-round #7 + ADVICE determinism note): the O(k)-state sketch — one
     * pass, mergeable partials — nominates ≤ k candidate words, and its
@@ -133,6 +149,7 @@ object TextQueries {
     "q_repetition"        -> (repetitionEntropy _),
     "q_top_words"         -> (topWords _),
     "q_heavy_hitters_sketch" -> (heavyHittersSketch _),
+    "q_curation"          -> (curationSurvivors _),
     "q_lang_id"           -> (langId _),
     "q_fingerprint"       -> (fingerprints _),
     "q_dedup_exact"       -> (dedupExact _),
@@ -173,6 +190,19 @@ object TextQueries {
          FROM w GROUP BY word
          HAVING count(*) * 41 > (SELECT count(*) FROM w)
          ORDER BY cnt DESC, word""",
+    "q_curation" ->
+      """WITH fp AS (SELECT doc_id, lang, text,
+                            md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+                     FROM documents),
+            keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+         SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_words
+         FROM fp d JOIN keep k ON d.doc_id = k.doc_id
+         WHERE length(d.text) BETWEEN 20 AND 100000
+           AND floor(len(list_filter(string_split(d.text, ' '),
+                                     x -> x IN ('the','a','of','and','to'))) * 10000
+                     / len(string_split(d.text, ' '))) >= 200
+           AND d.lang IN ('en','es','fr','de')
+         ORDER BY d.doc_id""",
     // entropy fold mirrors Spark exactly: distinct chars SORTED, then
     // sum(p*ln p) in that order (list_reduce's first-element seed equals
     // aggregate's 0.0+x seed bit-for-bit)

@@ -89,7 +89,33 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q5 shape: the 6-table snowflake join — region filters nation, nation
+    * qualifies the supplier side, customer→orders→lineitem carries the
+    * volume, and the `c_nationkey = s_nationkey` equality closes the
+    * "local supplier" cycle. Plan: region/nation/supplier/customer all
+    * broadcast-sized against the fact chain; one low-cardinality agg. */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val rev = dec("l_extendedprice") *
+      (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount"))
+    val asiaNations = nation(s, d)
+      .join(region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    customer(s, d).select("c_custkey", "c_nationkey")
+      .join(orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(rev).cast(DecimalType(18, 4)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch5_local"    -> (localSupplierVolume _),
     "q_tpch1_pricing"  -> (pricingSummary _),
     "q_tpch3_shipping" -> (shippingPriority _),
     "q_tpch6_forecast" -> (forecastRevenue _),
@@ -98,6 +124,20 @@ object TpchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch5_local" ->
+      """SELECT n_name,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "q_tpch1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
