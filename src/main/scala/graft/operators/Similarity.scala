@@ -231,6 +231,82 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     searchAssigned(assigned, queries, collectCells(centroids), k, nprobe, idCol, vecCol)
 
+  /** L2² between two double arrays — sequential fold, engine-portable. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks: split dim-D vectors into `m` subspaces
+    * of D/m dims; each subspace's K-entry codebook is seeded from the K
+    * lowest-id vectors' subvectors (deterministic, the IVF-seeding
+    * convention — swap in per-subspace k-means for better recall). Result
+    * is driver-held: m × K × (D/m) doubles, bounded by construction. */
+  def pqCodebooks(vectors: DataFrame, m: Int, k: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val sub = dim / m
+    val seeds = vectors.orderBy(col(idCol)).limit(k)
+      .select(toDouble(col(vecCol)).as("v")).collect()
+      .map(_.getSeq[Double](0))
+    (0 until m).map(mi => seeds.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq).toSeq)
+  }
+
+  /** PQ encode — map-only: the full codebook rides in as ONE literal
+    * (array<array<array<double>>>), each row computes m per-subspace
+    * argmins (tie → lowest code). A D-float vector becomes m small ints —
+    * 32× compression at D=64, m=8, f32 — with zero shuffle. Adds
+    * `pq_codes: array<int>`. */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cb = typedlit(codebooks) // [m][k][sub]
+    val withSubs = vectors
+      .select(col(idCol), toDouble(col(vecCol)).as("ve"))
+      .withColumn("subs", array((0 until m).map(mi =>
+        slice(col("ve"), mi * sub + 1, sub)): _*))
+    val codes = (0 until m).map { mi =>
+      val scored = zip_with(element_at(cb, mi + 1), sequence(lit(0), lit(k - 1)),
+        (c, code) => struct(l2sq(element_at(col("subs"), mi + 1), c).as("d"),
+          code.as("code")))
+      array_min(scored).getField("code").cast("int")
+    }
+    withSubs.withColumn("pq_codes", array(codes: _*)).drop("subs")
+  }
+
+  /** PQ top-k via asymmetric distance (ADC): candidates are scored from
+    * their m-byte codes only — per pair, the L2² distance is the sum of
+    * per-subspace distances between the QUERY's real subvector and the
+    * candidate's codebook centroid. Queries broadcast; candidates stream
+    * through with no shuffle before the bounded top-k aggregate.
+    * Approximate (codebook error) — spec-pinned, not oracle-declared,
+    * consistent with the other approximate operators. */
+  def pqTopK(encoded: DataFrame, queries: DataFrame,
+             codebooks: Seq[Seq[Seq[Double]]], topK: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cb = typedlit(codebooks)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qsubs", array((0 until m).map(mi =>
+        slice(col("qv"), mi * sub + 1, sub)): _*)))
+    val pairs = encoded.select(col(idCol).as("candidate_id"), col("pq_codes"))
+      .join(q, col("query_id") =!= col("candidate_id"))
+      .withColumn("dist", aggregate(
+        zip_with(col("pq_codes"), sequence(lit(1), lit(m)), (code, mi) =>
+          struct(code.as("code"), mi.as("mi"))),
+        lit(0.0), (acc, e) => acc + l2sq(
+          element_at(col("qsubs"), e.getField("mi")),
+          element_at(element_at(cb, e.getField("mi")), e.getField("code") + 1))))
+    // rank by ascending distance: negate for the (desc-ordered) TopKAgg
+    pairs.select(col("query_id"), col("candidate_id"), (-col("dist")).as("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(topK)(col("candidate_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("candidate_id"),
+        (col("pos") + 1).cast("int").as("rank"), (-col("t.score")).as("dist"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
     * the embedding-space cousin of [[Dedup.minhashNearDuplicates]].
     *

@@ -82,6 +82,21 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization codes — the codebook-compression stage of the
+    * PQ ANN path ([[Similarity.pqEncode]]), exploded to (vec_id, m, code)
+    * scalar rows. Fully deterministic (lowest-id codebook seeds, tie →
+    * lowest code; L2² folds sequentially in both engines), so the oracle
+    * mirrors the encode stage-for-stage. The ADC search
+    * ([[Similarity.pqTopK]]) is approximate and stays spec-pinned. */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cbs = Similarity.pqCodebooks(emb, m = 8, k = 16, dim = 64)
+    Similarity.pqEncode(emb, cbs)
+      .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m"), col("code"))
+      .orderBy("vec_id", "m")
+  }
+
   /** Blocked pairwise word-set Jaccard: top-50 most similar document pairs
     * within (lang, length-bucket) blocks — n-gram Jaccard near-dup surface,
     * fully oracle-checkable (no hash functions involved). A real threshold
@@ -228,6 +243,7 @@ object SimilarityQueries {
     "q_cosine_topk"     -> (cosineTopK _),
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
+    "q_pq_codes"        -> (pqCodes _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_arith"   -> (minhashArith _),
     "q_simhash_arith"   -> (simhashArith _),
@@ -384,6 +400,29 @@ object SimilarityQueries {
                       FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, lev FROM pairs WHERE lev <= 10
          ORDER BY lev, id_a, id_b LIMIT 50""",
+    // PQ encode mirrored stage-for-stage: 16 lowest-id seed codebooks per
+    // 8-dim subspace, per-(vector, subspace) argmin of the sequentially-
+    // folded L2^2 (ties -> lowest code)
+    "q_pq_codes" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve AS cv
+                      FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 16)),
+            pairs AS (
+              SELECT n.vec_id, ms.m, c.code,
+                     list_reduce(list_transform(range(1, 9),
+                        i -> (n.ve[ms.m*8 + i] - c.cv[ms.m*8 + i])
+                           * (n.ve[ms.m*8 + i] - c.cv[ms.m*8 + i])), (a,b) -> a+b) AS d
+              FROM v n
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+              CROSS JOIN cents c),
+            ranked AS (SELECT vec_id, m, code,
+                              row_number() OVER (PARTITION BY vec_id, m
+                                                 ORDER BY d, code) AS rn
+                       FROM pairs)
+         SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code
+         FROM ranked WHERE rn = 1
+         ORDER BY vec_id, m""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, s.signup_event_id
          FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

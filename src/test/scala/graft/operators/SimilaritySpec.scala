@@ -126,6 +126,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: seed vectors encode to their own codes, invariant to partitioning") {
+    val emb = Tables.embeddings(spark, sf)
+    val cbs = Similarity.pqCodebooks(emb, m = 8, k = 16, dim = 64)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) && cbs.head.head.length == 8)
+    val codes = Similarity.pqEncode(emb.filter(col("vec_id") < 16), cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("pq_codes"))).toMap
+    // the j-th lowest-id vector IS codebook entry j in every subspace
+    val order = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("vec_id").collect().map(_.getLong(0))
+    order.zipWithIndex.foreach { case (id, j) =>
+      assert(codes(id).forall(_ == j), s"seed vector $id should encode to code $j: ${codes(id)}")
+    }
+    val again = Similarity.pqEncode(emb.filter(col("vec_id") < 16).repartition(7), cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("pq_codes"))).toMap
+    assert(again == codes)
+  }
+
+  test("PQ ADC search surfaces a planted clone at rank 1") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val clone = emb.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(100000L))
+    val corpus = emb.unionByName(clone)
+    val cbs = Similarity.pqCodebooks(corpus, m = 8, k = 16, dim = 64)
+    val encoded = Similarity.pqEncode(corpus, cbs)
+    val top = Similarity.pqTopK(encoded, corpus.filter(col("vec_id") === 100000L), cbs, topK = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 5L, s"clone's source should rank first: ${top.toSeq}")
+    assert(top.head.getDouble(3) == 0.0) // identical codes -> ADC distance 0
+  }
+
   test("pre-assigned IVF (the bucketed-write amortization path) matches inline IVF") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf)
