@@ -82,6 +82,24 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Matryoshka-style truncation: keep the first 16 dims and re-normalize
+    * to unit L2 — the standard cheap-retrieval trick for MRL-trained
+    * embeddings (coarse search on the prefix, exact re-rank on the full
+    * vector). Map-only; the norm is materialized as a column BEFORE the
+    * per-element division so it folds once per row, not once per element
+    * (the documented lambda trap). */
+  def embedTruncate(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("sv", slice(Similarity.toDouble(col("embedding")), 1, 16))
+      .withColumn("nrm", Similarity.l2Norm(col("sv")))
+      .select(col("vec_id"), posexplode(
+        transform(col("sv"), x =>
+          when(col("nrm") === 0, lit(0.0)).otherwise(x / col("nrm"))))
+        .as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("v"), 6).cast(DecimalType(18, 6)).cast("double").as("val"))
+      .orderBy("vec_id", "dim")
+
   /** Product-quantization codes — the codebook-compression stage of the
     * PQ ANN path ([[Similarity.pqEncode]]), exploded to (vec_id, m, code)
     * scalar rows. Fully deterministic (lowest-id codebook seeds, tie →
@@ -244,6 +262,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
     "q_pq_codes"        -> (pqCodes _),
+    "q_embed_truncate"  -> (embedTruncate _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_arith"   -> (minhashArith _),
     "q_simhash_arith"   -> (simhashArith _),
@@ -400,6 +419,18 @@ object SimilarityQueries {
                       FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, lev FROM pairs WHERE lev <= 10
          ORDER BY lev, id_a, id_b LIMIT 50""",
+    "q_embed_truncate" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS sv
+                    FROM embeddings),
+            n AS (SELECT vec_id, sv,
+                         sqrt(list_reduce(list_transform(sv, x -> x*x), (a,b) -> a+b)) AS nrm
+                  FROM v)
+         SELECT vec_id, i AS dim,
+                CAST(CAST(round(CASE WHEN nrm = 0 THEN 0 ELSE sv[i] / nrm END, 6)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS val
+         FROM n, range(1, 17) t(i)
+         ORDER BY vec_id, dim""",
     // PQ encode mirrored stage-for-stage: 16 lowest-id seed codebooks per
     // 8-dim subspace, per-(vector, subspace) argmin of the sequentially-
     // folded L2^2 (ties -> lowest code)

@@ -87,6 +87,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      // force a shuffle join and drop the size gates so the test-sized
+      // tables qualify — at 100 TB the defaults (10 GB probe side) do this
+      // unprompted on exactly this shape: fact scan joined to a filtered
+      // dimension too big to broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.lineitem(spark, sf)
+      val urgent = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // the filter must not change results, only prune probe-side rows early
+      val expected = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        li.join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+      }
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() == expected)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("saltedSumCount equals plain groupBy aggregation") {
     val ev = Tables.events(spark, sf)
     val plain = ev.groupBy("event_type")
