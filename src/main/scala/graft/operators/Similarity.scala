@@ -249,29 +249,18 @@ object Similarity {
     (0 until m).map(mi => seeds.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq).toSeq)
   }
 
-  /** PQ encode — map-only: the full codebook rides in as ONE literal
-    * (array<array<array<double>>>), each row computes m per-subspace
-    * argmins (tie → lowest code). A D-float vector becomes m small ints —
+  /** PQ encode — map-only: each row computes m per-subspace argmins
+    * (tie → lowest code) via the codegen'd [[graft.expr.PqEncode]]
+    * expression (the HOF formulation ran m·K interpreted lambda folds per
+    * row — ~300× slower; a custom Expression is the documented next rung
+    * of the preference ladder). A D-float vector becomes m small ints —
     * 32× compression at D=64, m=8, f32 — with zero shuffle. Adds
     * `pq_codes: array<int>`. */
   def pqEncode(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val k = codebooks.head.length
-    val sub = codebooks.head.head.length
-    val cb = typedlit(codebooks) // [m][k][sub]
-    val withSubs = vectors
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
       .select(col(idCol), toDouble(col(vecCol)).as("ve"))
-      .withColumn("subs", array((0 until m).map(mi =>
-        slice(col("ve"), mi * sub + 1, sub)): _*))
-    val codes = (0 until m).map { mi =>
-      val scored = zip_with(element_at(cb, mi + 1), sequence(lit(0), lit(k - 1)),
-        (c, code) => struct(l2sq(element_at(col("subs"), mi + 1), c).as("d"),
-          code.as("code")))
-      array_min(scored).getField("code").cast("int")
-    }
-    withSubs.withColumn("pq_codes", array(codes: _*)).drop("subs")
-  }
+      .withColumn("pq_codes", graft.expr.PqEncode.pq_encode(col("ve"), codebooks))
 
   /** PQ top-k via asymmetric distance (ADC): candidates are scored from
     * their m-byte codes only — per pair, the L2² distance is the sum of
