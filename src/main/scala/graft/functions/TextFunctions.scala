@@ -101,6 +101,15 @@ object TextFunctions {
   /** Deterministic document fingerprint: md5 of the normalized text
     * (lowercase, alphanumerics only) — an exact-dedup key that survives
     * whitespace/punctuation jitter. */
+  /** Redact URLs then emails (training-data PII scrubbing). URL pass runs
+    * first so an address embedded in a URL redacts as part of the URL.
+    * Patterns stay inside the Java∩RE2 common dialect (no lookarounds, no
+    * backrefs) so a second engine's regexp_replace agrees byte-for-byte. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://[^\\s]+", "<URL>"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", "").cast("binary"))
 

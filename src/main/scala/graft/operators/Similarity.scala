@@ -262,6 +262,38 @@ object Similarity {
       .select(col(idCol), toDouble(col(vecCol)).as("ve"))
       .withColumn("pq_codes", graft.expr.PqEncode.pq_encode(col("ve"), codebooks))
 
+  /** Per-subspace Lloyd (k-means) refinement of PQ codebooks: assign every
+    * vector's subvectors to their nearest codebook entries (the codegen'd
+    * [[pqEncode]] — map-only), then recompute each (subspace, code) cell's
+    * centroid as the mean of its members via the distributed
+    * [[graft.functions.VectorAgg.VectorMean]] aggregate. Per iteration the
+    * only shuffle carries m·K partial mean buffers of dim/m doubles; the
+    * updated codebook (bounded: m·K·dim/m doubles) returns to the driver,
+    * exactly like [[kmeansCentroids]]. Empty cells keep their previous
+    * centroid. Lloyd monotonically lowers quantization error (asserted in
+    * SimilaritySpec). */
+  def pqRefine(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]], iters: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    var cbs = codebooks
+    for (_ <- 0 until iters) {
+      val means = pqEncode(vectors, cbs, idCol, vecCol)
+        .select(col("ve"), posexplode(col("pq_codes")).as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          slice(col("ve"), col("mi") * sub + 1, lit(sub)).as("sv"))
+        .groupBy("mi", "code")
+        .agg(graft.functions.VectorAgg.vector_mean(sub)(
+          transform(col("sv"), _.cast("float"))).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cbs = cbs.zipWithIndex.map { case (cbm, mi) =>
+        cbm.zipWithIndex.map { case (c, ki) => means.getOrElse((mi, ki), c) }
+      }
+    }
+    cbs
+  }
+
   /** PQ top-k via asymmetric distance (ADC): candidates are scored from
     * their m-byte codes only — per pair, the L2² distance is the sum of
     * per-subspace distances between the QUERY's real subvector and the

@@ -73,6 +73,15 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** PII scrubbing surface: URL + email redaction per document (the
+    * corpus itself is synthetic and clean, so the behavioral contract is
+    * pinned on crafted strings in TextPropertiesSpec; the oracle confirms
+    * the two regexp passes agree across engines on every real row). */
+  def scrubbedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
+      .orderBy("doc_id")
+
   /** End-to-end curation declared as an oracle-checked query — the
     * engine-portable core of [[graft.operators.CurationPipeline]]:
     * fingerprint dedup (survivor = lowest doc_id), length gate,
@@ -150,6 +159,7 @@ object TextQueries {
     "q_top_words"         -> (topWords _),
     "q_heavy_hitters_sketch" -> (heavyHittersSketch _),
     "q_curation"          -> (curationSurvivors _),
+    "q_scrub_pii"         -> (scrubbedDocs _),
     "q_lang_id"           -> (langId _),
     "q_fingerprint"       -> (fingerprints _),
     "q_dedup_exact"       -> (dedupExact _),
@@ -190,6 +200,12 @@ object TextQueries {
          FROM w GROUP BY word
          HAVING count(*) * 41 > (SELECT count(*) FROM w)
          ORDER BY cnt DESC, word""",
+    "q_scrub_pii" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
     "q_curation" ->
       """WITH fp AS (SELECT doc_id, lang, text,
                             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f

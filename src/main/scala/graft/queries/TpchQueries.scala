@@ -114,8 +114,40 @@ object TpchQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Q4 shape: EXISTS semi-join with a correlated inequality, then a
+    * low-cardinality aggregate — orders in one quarter that have at least
+    * one line shipped after the order date. The semi-join dedups
+    * build-side matches before the count (no fan-out, unlike an inner
+    * join + distinct). */
+  def latePriorityOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+      .join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** Q12 shape: fact filter + join + dual conditional counts (the
+    * CASE-inside-SUM pivot), grouped by a low-cardinality line attribute
+    * (the synthetic schema's return flag stands in for ship mode). */
+  def returnflagPriority(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch5_local"    -> (localSupplierVolume _),
+    "q_tpch4_late"     -> (latePriorityOrders _),
+    "q_tpch12_modes"   -> (returnflagPriority _),
     "q_tpch1_pricing"  -> (pricingSummary _),
     "q_tpch3_shipping" -> (shippingPriority _),
     "q_tpch6_forecast" -> (forecastRevenue _),
@@ -124,6 +156,22 @@ object TpchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch4_late" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q_tpch12_modes" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q_tpch5_local" ->
       """SELECT n_name,
                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -17,6 +17,25 @@ class TextPropertiesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("scrubPii redacts emails and URLs, URL pass first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "see https://example.com/a?b=c#d and http://x.y/z",
+      "address-in-url http://site.com/jane@host.com stays one URL",
+      "no pii here at all",
+      "two a@b.com mails c.d@e.org in one line")
+    val got = rows.toDF("text")
+      .select(TextFunctions.scrubPii(col("text")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "see <URL> and <URL>")
+    assert(got(2) == "address-in-url <URL> stays one URL")
+    assert(got(3) == "no pii here at all")
+    assert(got(4) == "two <EMAIL> mails <EMAIL> in one line")
+  }
+
   test("property: toSnakeCase is idempotent on realistic CSV headers") {
     // NOT idempotent in general: "((s))" -> "(s)" -> "s" (single-pass
     // replacement cascades on re-application) — faithful to the reference

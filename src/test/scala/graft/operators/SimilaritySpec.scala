@@ -143,6 +143,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == codes)
   }
 
+  test("PQ Lloyd refinement lowers quantization error") {
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = Similarity.pqCodebooks(emb, m = 8, k = 16, dim = 64)
+    val refined = Similarity.pqRefine(emb, seeds, iters = 3)
+    def err(cbs: Seq[Seq[Seq[Double]]]): Double = {
+      val rows = Similarity.pqEncode(emb, cbs).select("ve", "pq_codes").collect()
+      rows.map { r =>
+        val ve = r.getSeq[Double](0)
+        val codes = r.getSeq[Int](1)
+        codes.zipWithIndex.map { case (c, mi) =>
+          (0 until 8).map { j => val d = ve(mi * 8 + j) - cbs(mi)(c)(j); d * d }.sum
+        }.sum
+      }.sum / rows.length
+    }
+    val e0 = err(seeds)
+    val e1 = err(refined)
+    assert(e1 < e0, s"refinement did not lower quantization error: $e0 -> $e1")
+  }
+
   test("PQ ADC search surfaces a planted clone at rank 1") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
