@@ -241,4 +241,32 @@ class StreamingSpec extends AnyFunSuite {
       .select("l_key").collect().map(_.getString(0)).toSeq
     assert(out == Seq("J1"))
   }
+
+  test("streaming curation: fingerprint dedup + quality + lang gates, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val ts = java.sql.Timestamp.valueOf("2023-01-15 13:00:00")
+    val goodText = "the quick brown fox and the lazy dog of the river today"
+    val curated = CurationStream.curate(
+      in.toDF().toDF("doc_id", "ts", "text", "lang"))
+    val q = curated.writeStream
+      .outputMode("append").format("memory").queryName("curation_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in.addData(
+      (1L, ts, goodText, "en"),                         // survives
+      (2L, ts, "The  quick brown fox, and the lazy dog of the river today!", "en"), // fp-dup of 1
+      (3L, ts, "short", "en"),                          // length gate
+      (4L, ts, "alpha beta gamma delta epsilon zeta eta theta", "en"), // no stopwords
+      (5L, ts, goodText + " extra", "xx"))              // lang gate
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curation_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"curation kept $kept")
+    // the dedup state is keyed on the fingerprint, evicted by watermark —
+    // assert the plan carries the within-watermark dedup operator
+    assert(curated.queryExecution.analyzed.toString.contains("DeduplicateWithinWatermark"),
+      "expected within-watermark dedup in plan")
+  }
 }
