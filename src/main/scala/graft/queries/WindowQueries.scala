@@ -38,6 +38,23 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** RANGE-frame window (event-time sliding aggregate): each event's sum
+    * of the same user's values over the trailing hour. A different
+    * physical operator family from ROWS frames — bounds move by ORDER-KEY
+    * VALUE, so all equal-key rows share one frame and the frame size is
+    * data-dependent. Order key is epoch SECONDS (integer) so both engines
+    * agree on boundaries exactly; sums run in DECIMAL. */
+  def trailingHourSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(12, 2))).over(w)
+          .cast(DecimalType(18, 2)).cast("double").as("trailing_hour_value"))
+      .orderBy("event_id")
+  }
+
   /** Per-group top-k via rank over a descending ordering (classic pattern the
     * reference's Power-BI layer would push down; TakeOrdered per group). */
   def topPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -173,6 +190,7 @@ object WindowQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rownum"  -> (rowNumber _),
     "q_window_running" -> (runningSum _),
+    "q_window_range"   -> (trailingHourSum _),
     "q_window_topk"    -> (topPerGroup _),
     "q_union_byname"   -> (unionByNameCounts _),
     "q_hourly_counts"  -> (hourlyCounts _),
@@ -196,6 +214,13 @@ object WindowQueries {
                 CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_value
+         FROM events ORDER BY event_id""",
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+                CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS trailing_hour_value
          FROM events ORDER BY event_id""",
     "q_window_topk" ->
       """SELECT * FROM (
