@@ -231,10 +231,6 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     searchAssigned(assigned, queries, collectCells(centroids), k, nprobe, idCol, vecCol)
 
-  /** L2² between two double arrays — sequential fold, engine-portable. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-
   /** Product-quantization codebooks: split dim-D vectors into `m` subspaces
     * of D/m dims; each subspace's K-entry codebook is seeded from the K
     * lowest-id vectors' subvectors (deterministic, the IVF-seeding
@@ -297,28 +293,22 @@ object Similarity {
   /** PQ top-k via asymmetric distance (ADC): candidates are scored from
     * their m-byte codes only — per pair, the L2² distance is the sum of
     * per-subspace distances between the QUERY's real subvector and the
-    * candidate's codebook centroid. Queries broadcast; candidates stream
-    * through with no shuffle before the bounded top-k aggregate.
-    * Approximate (codebook error) — spec-pinned, not oracle-declared,
-    * consistent with the other approximate operators. */
+    * candidate's codebook centroid, computed by the codegen'd
+    * [[graft.expr.PqAdcDistance]] (dim multiply-adds per pair, plain
+    * loops — same HOF-vs-Expression rationale as the encoder). Queries
+    * broadcast; candidates stream through with no shuffle before the
+    * bounded top-k aggregate. Approximate (codebook error) — spec-pinned,
+    * not oracle-declared, consistent with the other approximate
+    * operators. */
   def pqTopK(encoded: DataFrame, queries: DataFrame,
              codebooks: Seq[Seq[Seq[Double]]], topK: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val cb = typedlit(codebooks)
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qsubs", array((0 until m).map(mi =>
-        slice(col("qv"), mi * sub + 1, sub)): _*)))
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")))
     val pairs = encoded.select(col(idCol).as("candidate_id"), col("pq_codes"))
       .join(q, col("query_id") =!= col("candidate_id"))
-      .withColumn("dist", aggregate(
-        zip_with(col("pq_codes"), sequence(lit(1), lit(m)), (code, mi) =>
-          struct(code.as("code"), mi.as("mi"))),
-        lit(0.0), (acc, e) => acc + l2sq(
-          element_at(col("qsubs"), e.getField("mi")),
-          element_at(element_at(cb, e.getField("mi")), e.getField("code") + 1))))
+      .withColumn("dist",
+        graft.expr.PqAdcDistance.pq_adc_distance(col("pq_codes"), col("qv"), codebooks))
     // rank by ascending distance: negate for the (desc-ordered) TopKAgg
     pairs.select(col("query_id"), col("candidate_id"), (-col("dist")).as("sim"))
       .groupBy("query_id")
