@@ -7,17 +7,20 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` payloads with typed metadata; decode /
   * feature-extract / frame-sample run as partition-local batch functions.
   *
-  * The compressed-format codecs (JPEG/PNG/audio) are NOT present in this
-  * container, so [[FakeDecoder]] below is a clearly-marked deterministic
-  * STUB — the Spark-side contract (schema, partitioning, batch iteration
-  * shape, typed output) is real and tested, and a production deployment
-  * swaps the stub for a real codec without touching the plumbing.
-  * [[HeaderDecoder]] and [[parseDims]] ARE real: image dimensions come
-  * from actual PNG/GIF/JPEG/BMP/netpbm header bytes (pure arithmetic, no
-  * codec needed). [[PixelDecoder]] is ALSO real for uncompressed formats:
-  * BMP (BI_RGB 24/32 bpp) and binary PPM/PGM pixel data need only offset
-  * arithmetic, so mean-channel/luma features are computed from actual
-  * pixels; the stub remains only for compressed payloads.
+  * Decode layers, all REAL (no stubs):
+  *   - [[ImageIODecoder]] (the default): JDK `javax.imageio` pixel decode
+  *     for JPEG / PNG / GIF / BMP / TIFF / WBMP — headless, zero external
+  *     dependencies — emitting mean-channel/luma features from actual
+  *     decoded pixels;
+  *   - [[PixelDecoder]]: pure-arithmetic pixel decode for uncompressed
+  *     BMP (BI_RGB 24/32 bpp) and binary PPM/PGM — formats ImageIO lacks
+  *     (netpbm) or where header math beats a full decode;
+  *   - [[HeaderDecoder]] / [[parseDims]]: dimension extraction straight
+  *     from PNG/GIF/JPEG/BMP/netpbm header bytes, no pixel pass;
+  *   - [[ByteStatsDecoder]]: the terminal fallback for payloads that are
+  *     not images at all (text, audio containers without a codec here) —
+  *     byte-histogram features and length-derived shape. This is not a
+  *     codec stand-in; it is the honest featurization of opaque bytes.
   *
   * Scale notes: decode runs via `mapPartitions` (one decoder instance per
   * partition, amortized setup — the Scala analogue of `mapInPandas` batch
@@ -39,10 +42,11 @@ object Multimodal {
     def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
   }
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * "Width/height" derive from payload length; "features" are a fixed-size
-    * byte histogram-ish projection. Replace with a real decoder in prod. */
-  class FakeDecoder(featureDim: Int = 8) extends Decoder {
+  /** Terminal fallback for NON-image payloads: deterministic byte
+    * statistics. "Width/height" derive from payload length; "features" are
+    * a fixed-size byte-histogram projection. Image formats never reach
+    * this — [[ImageIODecoder]]/[[PixelDecoder]] decode real pixels. */
+  class ByteStatsDecoder(featureDim: Int = 8) extends Decoder {
     def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
       records.map { r =>
         val n = r.payload.length
@@ -56,13 +60,12 @@ object Multimodal {
 
   /** Header-parsing decoder: REAL dimension extraction for PNG / GIF /
     * baseline-JPEG byte streams — pure header arithmetic, no codec library
-    * — falling back to the stub's length-derived dims for unknown formats.
-    * Only the pixel-level feature extraction remains stubbed. */
+    * — falling back to byte-stats length-derived dims for unknown formats. */
   class HeaderDecoder(featureDim: Int = 8) extends Decoder {
-    private val fake = new FakeDecoder(featureDim)
+    private val stats = new ByteStatsDecoder(featureDim)
     def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
       records.map { r =>
-        val base = fake.decode(Iterator(r)).next()
+        val base = stats.decode(Iterator(r)).next()
         parseDims(r.payload).fold(base) { case (w, h) =>
           base.copy(width = w, height = h)
         }
@@ -77,8 +80,9 @@ object Multimodal {
     *   - PPM "P6" / PGM "P5" (binary netpbm): ASCII header (width, height,
     *     maxval, '#' comments allowed), then raw RGB / gray samples.
     * Features: [mean_R, mean_G, mean_B, mean_luma(Rec.601), 0…] in [0,1].
-    * Compressed formats fall back to [[HeaderDecoder]] (real dims, stub
-    * features) — the only remaining stub surface. */
+    * Formats this arithmetic can't reach fall back to [[HeaderDecoder]]
+    * (real dims, byte-stats features) — use [[ImageIODecoder]] when
+    * compressed formats need real pixels too. */
   class PixelDecoder(featureDim: Int = 8) extends Decoder {
     private val header = new HeaderDecoder(featureDim)
     def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
@@ -94,6 +98,60 @@ object Multimodal {
       }
   }
 
+  /** REAL pixel decode for compressed formats via the JDK's own image
+    * codecs (`javax.imageio` ships JPEG / PNG / GIF / BMP / TIFF / WBMP
+    * readers, headless, no external dependency). Emits the same
+    * [mean_R, mean_G, mean_B, mean_luma] feature shape as [[PixelDecoder]]
+    * from actually-decoded pixels. Payloads ImageIO has no reader for
+    * (netpbm) or that are corrupt fall through to [[PixelDecoder]] →
+    * [[HeaderDecoder]] → [[ByteStatsDecoder]] — a malformed image degrades
+    * to weaker features instead of failing the partition. */
+  class ImageIODecoder(featureDim: Int = 8) extends Decoder {
+    private val pixel = new PixelDecoder(featureDim)
+    def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+      // per-partition setup: decode buffers in memory, never via temp files
+      javax.imageio.ImageIO.setUseCache(false)
+      records.map { r =>
+        decodeImageIO(r.payload).fold(pixel.decode(Iterator(r)).next()) {
+          case (w, h, meanR, meanG, meanB) =>
+            val feats = new Array[Float](featureDim)
+            feats(0) = meanR; feats(1) = meanG; feats(2) = meanB
+            if (featureDim > 3)
+              feats(3) = (0.299 * meanR + 0.587 * meanG + 0.114 * meanB).toFloat
+            MediaFeatures(r.media_id, r.mime, r.payload.length, w, h, feats)
+        }
+      }
+    }
+  }
+
+  /** (width, height, meanR, meanG, meanB) via `javax.imageio`; None when no
+    * installed reader claims the payload or the decode fails. Pixels are
+    * read one row at a time (bounded buffer, independent of image height). */
+  private[operators] def decodeImageIO(p: Array[Byte]): Option[(Int, Int, Float, Float, Float)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val c = row(x)
+            sr += (c >>> 16) & 0xff; sg += (c >>> 8) & 0xff; sb += c & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h * 255
+        Some((w, h, sr.toFloat / n, sg.toFloat / n, sb.toFloat / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** (width, height, meanR, meanG, meanB) for uncompressed BMP / P6 / P5
     * payloads; None for anything else. */
   private[operators] def decodePixels(p: Array[Byte]): Option[(Int, Int, Float, Float, Float)] = {
@@ -108,10 +166,16 @@ object Multimodal {
       val compression = le32(30)
       val h = math.abs(hRaw)
       val bytesPp = bpp / 8
-      val stride = ((w * bytesPp + 3) / 4) * 4
+      // Long arithmetic throughout: a crafted width can overflow w*bytesPp in
+      // Int, making a negative stride slip past the length guard and then
+      // index out of bounds mid-partition. Malformed headers must return
+      // None (header/byte-stats fallback), never throw.
+      val strideL = ((w.toLong * bytesPp + 3) / 4) * 4
       if (compression != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h == 0 ||
-        dataOffset.toLong + stride.toLong * h > p.length) None
+        dataOffset < 54 || strideL <= 0 ||
+        dataOffset.toLong + strideL * h > p.length) None
       else {
+        val stride = strideL.toInt // safe: strideL*h fits in p.length (an Int)
         var (sr, sg, sb) = (0L, 0L, 0L)
         var row = 0
         while (row < h) {
@@ -232,7 +296,7 @@ object Multimodal {
   /** Partition-local decode: the mapPartitions shape a real codec needs
     * (per-partition setup, streaming batch iteration, no driver transit). */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
-                     decoder: Decoder = new FakeDecoder()): Dataset[MediaFeatures] = {
+                     decoder: Decoder = new ImageIODecoder()): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(decoder.decode(_))
   }

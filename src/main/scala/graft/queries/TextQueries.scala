@@ -138,9 +138,10 @@ object TextQueries {
           .as("char_entropy"))
       .orderBy("doc_id")
 
-  /** Multimodal plumbing surface (the decode itself is stubbed — no codec
-    * libs in this container): opaque binary payload + typed metadata. The
-    * oracle checks byte length and content hash of the binary column. */
+  /** Multimodal metadata surface: opaque binary payload + typed metadata,
+    * payload-pruned at the scan (pixel decode lives in
+    * [[graft.operators.Multimodal.ImageIODecoder]]). The oracle checks
+    * byte length and content hash of the binary column. */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

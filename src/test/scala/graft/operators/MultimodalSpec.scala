@@ -7,7 +7,8 @@ import graft.TestSpark
 import graft.util.Tables
 
 /** Multimodal plumbing tests: schema, partition-local decode shape, frame
-  * sampling, metadata pruning. The decoder itself is the documented stub. */
+  * sampling, metadata pruning — plus REAL pixel decode: JDK ImageIO for
+  * compressed formats, offset arithmetic for BMP/netpbm. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
@@ -27,7 +28,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f0 = feats.filter(_.media_id == 0L).head()
     assert(f0.n_bytes > 0 && f0.width > 0 && f0.height > 0)
     assert(f0.features.length == 8)
-    // deterministic stub: same input -> same features
+    // deterministic: same input -> same features
     val again = Multimodal.decodeFeatures(spark, media).filter(_.media_id == 0L).head()
     assert(f0.features.toSeq == again.features.toSeq)
     feats.unpersist()
@@ -161,7 +162,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseDims(soi ++ Array(0xff, 0xe0).map(_.toByte)) == None)
   }
 
-  test("HeaderDecoder extracts real dims, falls back to stub dims otherwise") {
+  test("HeaderDecoder extracts real dims, falls back to byte-stats dims otherwise") {
     import spark.implicits._
     val df = Seq(
       (1L, "image/png", pngBytes(64, 32)),
@@ -170,7 +171,75 @@ class MultimodalSpec extends AnyFunSuite {
     val got = Multimodal.decodeFeatures(spark, df, new Multimodal.HeaderDecoder())
       .collect().map(f => f.media_id -> ((f.width, f.height))).toMap
     assert(got(1L) == ((64, 32)))
-    assert(got(2L)._1 > 0 && got(2L)._2 > 0) // stub fallback still types dims
+    assert(got(2L)._1 > 0 && got(2L)._2 > 0) // byte-stats fallback still types dims
+  }
+
+  // real encoded payloads via the JDK's own writers — decode must recover
+  // known per-channel means from actual pixels
+  private def encodedImage(fmt: String, w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("ImageIODecoder decodes real PNG pixels (lossless: exact means)") {
+    // left half pure red, right half pure blue -> means (0.5, 0, 0.5)
+    val png = encodedImage("png", 8, 4)((x, _) => if (x < 4) 0xff0000 else 0x0000ff)
+    val got = new Multimodal.ImageIODecoder().decode(Iterator(
+      Multimodal.MediaRecord(10L, "image/png", png))).next()
+    assert(got.width == 8 && got.height == 4)
+    assert(math.abs(got.features(0) - 0.5f) < 1e-6)
+    assert(got.features(1) == 0.0f)
+    assert(math.abs(got.features(2) - 0.5f) < 1e-6)
+    assert(math.abs(got.features(3) - (0.299f * 0.5f + 0.114f * 0.5f)) < 1e-6)
+  }
+
+  test("ImageIODecoder decodes real JPEG pixels (lossy: means within tolerance)") {
+    val jpg = encodedImage("jpg", 16, 16)((_, _) => 0x808080) // uniform mid-gray
+    val got = new Multimodal.ImageIODecoder().decode(Iterator(
+      Multimodal.MediaRecord(11L, "image/jpeg", jpg))).next()
+    assert(got.width == 16 && got.height == 16)
+    for (i <- 0 to 2)
+      assert(math.abs(got.features(i) - 128f / 255f) < 0.02, s"channel $i: ${got.features(i)}")
+  }
+
+  test("ImageIODecoder runs distributed and agrees with the local decode") {
+    import spark.implicits._
+    val png = encodedImage("png", 6, 6)((x, y) => if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val df = Seq((20L, "image/png", png)).toDF("media_id", "mime", "payload").repartition(4)
+    val got = Multimodal.decodeFeatures(spark, df).collect().head
+    assert(got.width == 6 && got.height == 6)
+    assert(math.abs(got.features(0) - 0.5f) < 1e-6) // checkerboard mean
+  }
+
+  test("ImageIODecoder falls through: netpbm via arithmetic, text via byte stats") {
+    val ppm = ppmBytes(2, 2, Seq((255, 255, 255), (0, 0, 0), (255, 255, 255), (0, 0, 0)))
+    val got = new Multimodal.ImageIODecoder().decode(Iterator(
+      Multimodal.MediaRecord(12L, "image/x-portable-pixmap", ppm))).next()
+    assert(got.width == 2 && math.abs(got.features(0) - 0.5f) < 1e-6)
+    val txt = new Multimodal.ImageIODecoder().decode(Iterator(
+      Multimodal.MediaRecord(13L, "text/plain", "not an image at all".getBytes("UTF-8")))).next()
+    assert(txt.width > 0 && txt.height > 0) // byte-stats dims, never a crash
+  }
+
+  test("BMP bounds math rejects crafted overflow headers instead of throwing") {
+    // width so large that w*bytesPp overflows Int: the stride would go
+    // negative in Int math and sneak past the length guard, then AIOOBE.
+    val bad = bmpBytes(Array(Array((1, 2, 3))))
+    def patchLe32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = (v & 0xff).toByte; a(i + 1) = ((v >> 8) & 0xff).toByte
+      a(i + 2) = ((v >> 16) & 0xff).toByte; a(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val hugeW = bad.clone(); patchLe32(hugeW, 18, 0x40000000)
+    val negOff = bad.clone(); patchLe32(negOff, 10, -8)
+    val tinyOff = bad.clone(); patchLe32(tinyOff, 10, 4) // inside the header
+    for (p <- Seq(hugeW, negOff, tinyOff)) {
+      val got = new Multimodal.PixelDecoder().decode(Iterator(
+        Multimodal.MediaRecord(14L, "image/bmp", p))).next()
+      assert(got.n_bytes == p.length) // fell back, no exception
+    }
   }
 
   test("PNG dims as column expressions agree with the decoder") {
