@@ -24,17 +24,24 @@ object Bench {
       }.sorted
       name -> times(1)
     }
+    // 4-decimal seconds: sub-0.1ms digits are noise and more than double the
+    // line length, which is what got the driver's stdout capture truncated
+    // mid-JSON in rounds 1-3 (BENCH parsed: null).
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures stdout, which can truncate mid-JSON on long tails
-    // (BENCH_r02 lost its total line that way) — persist the full record to
-    // a file as well so per-round comparisons never need forensics.
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Persist the full record to a file so per-round comparisons never need
+    // stdout forensics, print the full line, then end stdout with a SHORT
+    // always-parseable summary — if the capture truncates the long line
+    // again, the final line still carries the total intact.
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"target/bench.json"}""")
     spark.stop()
   }
 }

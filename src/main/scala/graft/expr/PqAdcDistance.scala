@@ -43,13 +43,28 @@ case class PqAdcDistance(left: Expression, right: Expression,
             s"got ${l.sql} and ${r.sql}")
     }
 
+  private def k: Int = codebooks(0).length
+
+  /** Runtime shape contract: unlike [[PqEncode]] (which produces its own
+    * well-shaped output), this accepts arbitrary array columns — a
+    * wrong-shaped input must fail loudly, not read out of bounds into
+    * silently wrong distances. */
+  private def shapeError(codesN: Int, queryN: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: need >= $m codes in [0,$k) and a query of >= ${m * sub} dims, " +
+        s"got ${codesN} codes / ${queryN} dims")
+
   override protected def nullSafeEval(codesAny: Any, queryAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val q = queryAny.asInstanceOf[ArrayData]
+    if (codes.numElements() < m || q.numElements() < m * sub)
+      shapeError(codes.numElements(), q.numElements())
     var d = 0.0
     var mi = 0
     while (mi < m) {
-      val c = codebooks(mi)(codes.getInt(mi))
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= k) shapeError(codes.numElements(), q.numElements())
+      val c = codebooks(mi)(code)
       var j = 0
       while (j < sub) {
         val diff = q.getDouble(mi * sub + j) - c(j)
@@ -69,10 +84,19 @@ case class PqAdcDistance(left: Expression, right: Expression,
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val diff = ctx.freshName("diff")
+      val code = ctx.freshName("code")
+      val refObj = ctx.addReferenceObj("pqAdcSelf", this, classOf[PqAdcDistance].getName)
       s"""
+         |if ($codes.numElements() < $m || $q.numElements() < ${m * sub}) {
+         |  $refObj.shapeErrorPublic($codes.numElements(), $q.numElements());
+         |}
          |double $d = 0.0;
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  final double[] $c = $cbRef[$mi][$codes.getInt($mi)];
+         |  final int $code = $codes.getInt($mi);
+         |  if ($code < 0 || $code >= $k) {
+         |    $refObj.shapeErrorPublic($codes.numElements(), $q.numElements());
+         |  }
+         |  final double[] $c = $cbRef[$mi][$code];
          |  for (int $j = 0; $j < $sub; $j++) {
          |    final double $diff = $q.getDouble($mi * $sub + $j) - $c[$j];
          |    $d += $diff * $diff;
@@ -81,6 +105,25 @@ case class PqAdcDistance(left: Expression, right: Expression,
          |${ev.value} = $d;
        """.stripMargin
     })
+
+  /** Codegen entry for the shape guard (generated Java can't see the
+    * private method). */
+  def shapeErrorPublic(codesN: Int, queryN: Int): Unit = shapeError(codesN, queryN)
+
+  /** Codebooks are an Array-of-Arrays case-class field, whose default
+    * equals is reference identity — that defeats Catalyst canonicalization
+    * (semanticEquals, common-subexpression elimination) for two textually
+    * identical calls. Compare by deep value instead. */
+  override def equals(other: Any): Boolean = other match {
+    case that: PqAdcDistance =>
+      left == that.left && right == that.right &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]], that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode + right.hashCode) +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcDistance =

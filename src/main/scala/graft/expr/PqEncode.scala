@@ -108,6 +108,19 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+
+  /** Codebooks are an Array-of-Arrays case-class field, whose default
+    * equals is reference identity — that defeats Catalyst canonicalization
+    * (semanticEquals, common-subexpression elimination) for two textually
+    * identical calls. Compare by deep value instead. */
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncode =>
+      child == that.child && java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]], that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 }
 
 object PqEncode {

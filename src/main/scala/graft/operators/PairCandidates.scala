@@ -54,19 +54,35 @@ object PairCandidates {
     * invocations over the same logical input (benchmark reruns, a query
     * called per batch) pay it once per session. A stale or colliding entry
     * can only flip the STRATEGY, never the result — both candidate
-    * generators are lossless. */
+    * generators are lossless.
+    *
+    * BOUNDED: at [[statsCap]] entries the memo is dropped wholesale — a
+    * long-lived session (streaming driver, notebook) must not grow it
+    * monotonically, and re-paying one cheap aggregate after a flush is
+    * far cheaper than an unbounded map. The flush is also the staleness
+    * valve: data regenerated under the same path/plan re-probes after the
+    * next flush (or [[invalidateStats]]) instead of trusting a stale
+    * max-block-size forever. */
   private val blockStats = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[operators] val statsCap = 64
+  private[operators] def statsSize: Int = blockStats.size()
+  private[operators] def invalidateStats(): Unit = blockStats.clear()
+
+  private[operators] def memoizedStat(key: String)(compute: => Long): Long = {
+    if (blockStats.size() >= statsCap) blockStats.clear()
+    blockStats.computeIfAbsent(key, _ => compute).longValue
+  }
 
   /** Row count of the largest block — the one cheap aggregate the strategy
     * switch needs (memoized per logical plan). */
   def maxBlockSize(blocked: DataFrame): Long = {
     val key = blocked.sparkSession.hashCode().toString + "#" +
       blocked.queryExecution.analyzed.semanticHash().toString
-    blockStats.computeIfAbsent(key, _ => {
+    memoizedStat(key) {
       val top = blocked.groupBy("block").agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).collect()
       if (top.isEmpty || top(0).isNullAt(0)) 0L else top(0).getLong(0)
-    }).longValue
+    }
   }
 
   /** Naive per-block all-pairs — correct and cheapest while the largest

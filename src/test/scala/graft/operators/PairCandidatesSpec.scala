@@ -136,6 +136,15 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"q-gram filter lost true pairs: $missed")
   }
 
+  test("strategy-stat memo is bounded and keeps working across flushes") {
+    PairCandidates.invalidateStats()
+    (0 until PairCandidates.statsCap * 3).foreach { i =>
+      PairCandidates.memoizedStat("spec-key-" + i)(i.toLong)
+    }
+    assert(PairCandidates.statsSize <= PairCandidates.statsCap)
+    assert(PairCandidates.memoizedStat("spec-key-again")(42L) == 42L)
+  }
+
   test("edit-distance candidate count grows ~linearly when the block doubles") {
     val c1 = PairCandidates.editDistanceCandidates(editCorpus(60, withShort = false), maxDist = 10).count()
     val c2 = PairCandidates.editDistanceCandidates(editCorpus(120, withShort = false), maxDist = 10).count()
