@@ -165,6 +165,50 @@ object Similarity {
     cells.map { case (id, c, _) => (id, c) }.toDF("cell_id", "centroid")
   }
 
+  /** Bit-reproducible k-means refinement via FIXED-POINT accumulation.
+    *
+    * [[kmeansCentroids]]' floating-point partial sums depend on partition
+    * merge order, so its refined centroids can differ in the last ulp
+    * between runs, parallelism levels, and engines — fine for recall, fatal
+    * for value-exact verification. Here every component is quantized to
+    * `round(x · 2^20)` BEFORE summing; long sums are exact and
+    * order-independent, so the refined centroids are identical bit-for-bit
+    * regardless of partitioning, and an external engine (the DuckDB oracle)
+    * reproduces them from the same definition. The 2^-20 quantization of
+    * the update step is irrelevant to a coarse quantizer's recall.
+    *
+    * Scale shape: per iteration, assignment is the same map-only argmax as
+    * [[kmeansCentroids]]; the only shuffle is the (cell, dim) long-sum
+    * aggregation — map-side combined to C·dim partial buffers per
+    * partition; the corpus is never reshuffled; driver state is C·dim
+    * doubles. */
+  def kmeansCentroidsFixedPoint(vectors: DataFrame, numCentroids: Int, iters: Int,
+                                idCol: String = "vec_id", vecCol: String = "embedding",
+                                scale: Double = 1048576.0): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(toDouble(col(vecCol)).as("v"))
+    var cells = collectCells(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+    for (_ <- 0 until iters) {
+      val sums = withNearestCells(v, cellsLiteral(cells), "v", 1, "cell_id")
+        .select(col("cell_id"),
+          posexplode(transform(col("v"), x => round(x * scale).cast("long"))).as(Seq("pos", "q")))
+        .groupBy("cell_id", "pos")
+        .agg(sum(col("q")).as("fs"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      cells = cells.map { case (id, c, _) =>
+        val m = c.indices.map { j =>
+          sums.get((id, j)).map { case (fs, n) => fs.toDouble / (scale * n) }.getOrElse(c(j))
+        }
+        (id, m, math.sqrt(m.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
+    }
+    cells.map { case (id, c, _) => (id, c) }.toDF("cell_id", "centroid")
+  }
+
   /** IVF-style ANN: coarse-quantize candidates to their nearest centroid
     * (deterministic centroid choice: the numCentroids lowest-id vectors —
     * swap in k-means via [[kmeansCentroids]] for better recall), then search

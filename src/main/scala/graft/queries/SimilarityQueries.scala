@@ -91,6 +91,29 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Scale-shaped k-means IVF (VERDICT round 3, next-round #3): C grows as
+    * √N and nprobe as C/12 — a ~8% probe fraction that holds at any corpus
+    * size, vs the fixture-scale constants (C=16, nprobe=4 = 25%) the plain
+    * IVF queries pin for their oracles. The coarse quantizer is one
+    * fixed-point Lloyd iteration over the √N lowest-id seeds
+    * ([[Similarity.kmeansCentroidsFixedPoint]]): exact long-integer
+    * accumulation makes the refined centroids bit-identical across
+    * partitionings AND engines, so the full pipeline — refine → assign →
+    * probe → rank — is oracle-checked value-for-value like the other IVF
+    * queries, with the parameter FORMULA itself under test at every tier. */
+  def cosineTopKIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = emb.count()
+    val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val np = math.max(2, c / 12)
+    val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 1)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), k = 5,
+        numCentroids = c, nprobe = np, centroidsOverride = Some(refined))
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Matryoshka-style truncation: keep the first 16 dims and re-normalize
     * to unit L2 — the standard cheap-retrieval trick for MRL-trained
     * embeddings (coarse search on the prefix, exact re-rank on the full
@@ -270,6 +293,7 @@ object SimilarityQueries {
     "q_cosine_topk"     -> (cosineTopK _),
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
+    "q_cosine_topk_ivf_kmeans" -> (cosineTopKIvfKmeans _),
     "q_pq_codes"        -> (pqCodes _),
     "q_embed_truncate"  -> (embedTruncate _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
@@ -366,6 +390,70 @@ object SimilarityQueries {
             cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
             probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells
                       WHERE cr <= 4 AND vec_id < 64),
+            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                             list_reduce(list_transform(range(1, len(p.ve) + 1),
+                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
+                             / (p.vn * a.vn) AS sim
+                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+            ranked AS (SELECT query_id, candidate_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, candidate_id) AS rank,
+                              sim
+                       FROM pairs)
+         SELECT query_id, candidate_id, rank,
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // Scale-shaped k-means IVF mirrored stage-for-stage: C = max(16, ⌊√N⌋)
+    // seeds (lowest-id), nprobe = max(2, ⌊C/12⌋); one Lloyd iteration with
+    // FIXED-POINT means — round(x·2^20) long sums are exact and
+    // order-independent, so both engines compute identical refined
+    // centroids — then the standard assign/probe/rank pipeline.
+    "q_cosine_topk_ivf_kmeans" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            par AS (SELECT c, greatest(2, CAST(floor(c / 12.0) AS BIGINT)) AS np
+                    FROM (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v)),
+            nv AS (SELECT vec_id, ve,
+                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
+                   FROM v),
+            seeds AS (SELECT vec_id AS cell_id, ve AS cv
+                      FROM (SELECT vec_id, ve, row_number() OVER (ORDER BY vec_id) AS rn FROM v), par
+                      WHERE rn <= c),
+            scn AS (SELECT cell_id, cv,
+                           sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS cn
+                    FROM seeds),
+            a1 AS (SELECT n.vec_id, n.ve, s.cell_id,
+                          row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                       i -> n.ve[i] * s.cv[i]), (a,b) -> a+b) / s.cn DESC,
+                                     s.cell_id) AS r
+                   FROM v n CROSS JOIN scn s),
+            assign1 AS (SELECT vec_id, ve, cell_id FROM a1 WHERE r = 1),
+            sums AS (SELECT cell_id, i AS pos,
+                            CAST(sum(CAST(round(ve[i] * 1048576) AS BIGINT)) AS BIGINT) AS fs,
+                            count(*) AS cnt
+                     FROM assign1, range(1, 65) t(i) GROUP BY cell_id, i),
+            newc AS (SELECT cell_id,
+                            list(CAST(fs AS DOUBLE) / (1048576.0 * cnt) ORDER BY pos) AS cv
+                     FROM sums GROUP BY cell_id),
+            cents AS (SELECT sd.cell_id, coalesce(nc.cv, sd.cv) AS cv
+                      FROM seeds sd LEFT JOIN newc nc ON sd.cell_id = nc.cell_id),
+            cn2 AS (SELECT cell_id, cv,
+                           sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS cn
+                    FROM cents),
+            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
+                            list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
+                            / c.cn AS csim
+                     FROM nv n CROSS JOIN cn2 c),
+            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM asim),
+            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
+            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells, par
+                      WHERE cr <= np AND vec_id < 64),
             pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
                              list_reduce(list_transform(range(1, len(p.ve) + 1),
                                                         i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)

@@ -100,6 +100,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"corpus-side shuffle crept into assignment ($exchanges):\n$plan")
   }
 
+  test("fixed-point k-means is bit-invariant to partitioning") {
+    val emb = Tables.embeddings(spark, sf)
+    def centroids(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      Similarity.kmeansCentroidsFixedPoint(df, numCentroids = 16, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = centroids(emb)
+    val b = centroids(emb.repartition(13))
+    // EXACT equality, not tolerance: long-sum accumulation is order-free
+    assert(a == b, "fixed-point refinement changed under repartitioning")
+    // and it refines: at least one centroid moved off its seed
+    val seeds = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.exists { case (id, c) => c != seeds(id) }, "no centroid moved")
+  }
+
+  test("fixed-point-refined centroids keep or improve IVF recall at equal C/nprobe") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    def recall(c: Option[org.apache.spark.sql.DataFrame]) = {
+      val approx = pairs(Similarity.ivfTopK(emb, queries, k = 5,
+        numCentroids = 16, nprobe = 4, centroidsOverride = c))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val seeded = recall(None)
+    val refined = recall(Some(
+      Similarity.kmeansCentroidsFixedPoint(emb, numCentroids = 16, iters = 2)))
+    assert(refined >= seeded - 0.1,
+      s"fixed-point kmeans recall $refined collapsed vs seeded $seeded")
+    assert(refined > 0.4, s"fixed-point kmeans recall too low: $refined")
+  }
+
   test("int8 quantization: bounded range, bounded round-trip error, zero-vector safe") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
