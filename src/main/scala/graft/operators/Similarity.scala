@@ -362,6 +362,67 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), (-col("t.score")).as("dist"))
   }
 
+  /** IVFADC — the production ANN shape the IVF and PQ halves exist for
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): IVF cell pruning cuts each query's candidate set to
+    * ~nprobe/C of the corpus, ADC scores the survivors from their m-byte
+    * PQ codes alone (the codegen'd [[graft.expr.PqAdcDistance]] — full
+    * vectors never travel through the scoring stage), and only the
+    * per-query top-`rerank` are re-ranked EXACTLY from their full vectors.
+    *
+    * This variant encodes raw vectors (not residuals v − centroid — the
+    * classic refinement; raw-vector PQ keeps the encode independent of the
+    * cell assignment, so codes can be precomputed once and reused across
+    * coarse-quantizer changes).
+    *
+    * Scale shape: assignment + encode are map-only; probes broadcast; the
+    * ADC stage shuffles only the bounded per-query top-rerank partials
+    * (TopKAgg); the exact stage re-reads the corpus through a broadcast
+    * semi-join on Q·rerank ids — no corpus shuffle anywhere. Fully
+    * deterministic (ties → lowest id at both ranking stages), so the
+    * pipeline is oracle-checkable end-to-end. */
+  def ivfAdcTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                 numCentroids: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, kCodes: Int = 16, dim: Int = 64, rerank: Int = 32,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 centroidsOverride: Option[DataFrame] = None,
+                 codebooksOverride: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val cells = collectCells(centroidsOverride.getOrElse(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+    val cbs = codebooksOverride.getOrElse(pqCodebooks(vectors, m, kCodes, dim, idCol, vecCol))
+    // candidate side: cell id + m-byte codes only
+    val assigned = assignWith(vectors, cells, idCol, vecCol)
+      .withColumn("pq_codes", graft.expr.PqEncode.pq_encode(col("cv"), cbs))
+      .select(col("cell"), col("candidate_id"), col("pq_codes"))
+    val probes = withNearestCells(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
+      cellsLiteral(cells), "qv", nprobe, "cell")
+      .withColumn("qn", l2Norm(col("qv")))
+    // stage 1: ADC over codes, per-query top-`rerank` by ascending distance
+    // (negated for the desc-ordered TopKAgg; ties -> lowest candidate_id)
+    val survivors = assigned
+      .join(broadcast(probes.select("cell", "query_id", "qv")), Seq("cell"))
+      .filter(col("query_id") =!= col("candidate_id"))
+      .withColumn("nd",
+        -graft.expr.PqAdcDistance.pq_adc_distance(col("pq_codes"), col("qv"), cbs))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(rerank)(col("candidate_id"), col("nd")).as("top"))
+      .select(col("query_id"),
+        explode(transform(col("top"), t => t.getField("id"))).as("candidate_id"))
+    // stage 2: exact cosine re-rank of the survivors from full vectors
+    val qSide = broadcast(probes.select("query_id", "qv", "qn").dropDuplicates("query_id"))
+    val cand = vectors
+      .select(col(idCol).as("candidate_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .join(broadcast(survivors), Seq("candidate_id"))
+    rankTopK(
+      cand.join(qSide, Seq("query_id"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select("query_id", "candidate_id", "sim"),
+      k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
     * the embedding-space cousin of [[Dedup.minhashNearDuplicates]].
     *

@@ -114,6 +114,22 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC, declared ([[Similarity.ivfAdcTopK]]): cell pruning → ADC
+    * scoring over 8-byte PQ codes → exact re-rank of the top-16. Every
+    * stage is deterministic (lowest-id seeds, ties → lowest id at the
+    * cell, ADC, and exact rankings; the codegen'd ADC expression folds in
+    * flat index order), so the DuckDB oracle mirrors the whole pipeline
+    * value-for-value — the one declared query where the approximate ANN
+    * machinery (codes, reconstruction distances) sits INSIDE an
+    * oracle-checked result. */
+  def cosineTopKIvfAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfAdcTopK(emb, emb.filter(col("vec_id") < 64), k = 5, rerank = 16)
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Matryoshka-style truncation: keep the first 16 dims and re-normalize
     * to unit L2 — the standard cheap-retrieval trick for MRL-trained
     * embeddings (coarse search on the prefix, exact re-rank on the full
@@ -294,6 +310,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
     "q_cosine_topk_ivf_kmeans" -> (cosineTopKIvfKmeans _),
+    "q_cosine_topk_ivfadc" -> (cosineTopKIvfAdc _),
     "q_pq_codes"        -> (pqCodes _),
     "q_embed_truncate"  -> (embedTruncate _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
@@ -400,6 +417,77 @@ object SimilarityQueries {
                                                  ORDER BY sim DESC, candidate_id) AS rank,
                               sim
                        FROM pairs)
+         SELECT query_id, candidate_id, rank,
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // IVFADC mirrored stage-for-stage: 16-cell IVF assignment (cr = 1) and
+    // 4-cell probes as in the plain IVF oracle; PQ encode per the q_pq_codes
+    // oracle, codes gathered per vector (cl, ordered by subspace); ADC
+    // distance = sequential flat-index fold over (query - reconstruction)²,
+    // where reconstruction[i] is the selected seed's component i; top-16 by
+    // (dist, candidate_id) per query survive to the exact cosine re-rank.
+    "q_cosine_topk_ivfadc" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            nv AS (SELECT vec_id, ve,
+                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
+                   FROM v),
+            cents AS (SELECT vec_id AS cell_id, ve AS cv, vn AS cn
+                      FROM nv ORDER BY vec_id LIMIT 16),
+            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
+                            list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
+                            / c.cn AS csim
+                     FROM nv n CROSS JOIN cents c),
+            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM asim),
+            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
+            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells
+                      WHERE cr <= 4 AND vec_id < 64),
+            cb AS (SELECT list(ve ORDER BY vec_id) AS cvs
+                   FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 16)),
+            cpairs AS (
+              SELECT n.vec_id, ms.m, cc.code,
+                     list_reduce(list_transform(range(1, 9),
+                        i -> (n.ve[ms.m*8 + i] - cc.cv[ms.m*8 + i])
+                           * (n.ve[ms.m*8 + i] - cc.cv[ms.m*8 + i])), (a,b) -> a+b) AS d
+              FROM v n
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+              CROSS JOIN (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve AS cv
+                          FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 16)) cc),
+            codes AS (SELECT vec_id, list(code ORDER BY m) AS cl
+                      FROM (SELECT vec_id, m, code,
+                                   row_number() OVER (PARTITION BY vec_id, m
+                                                      ORDER BY d, code) AS rn
+                            FROM cpairs)
+                      WHERE rn = 1 GROUP BY vec_id),
+            adc AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                           p.ve AS qve, p.vn AS qvn, a.ve AS cve, a.vn AS cvn,
+                           list_reduce(list_transform(range(1, 65),
+                              i -> (p.ve[i] - cb.cvs[k.cl[CAST(floor((i-1)/8) AS INT) + 1] + 1][i])
+                                 * (p.ve[i] - cb.cvs[k.cl[CAST(floor((i-1)/8) AS INT) + 1] + 1][i])),
+                              (x,y) -> x+y) AS dist
+                    FROM probe p
+                    JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+                    JOIN codes k ON k.vec_id = a.vec_id
+                    CROSS JOIN cb),
+            survivors AS (SELECT query_id, candidate_id, qve, qvn, cve, cvn
+                          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                             ORDER BY dist, candidate_id) AS rn
+                                FROM adc)
+                          WHERE rn <= 16),
+            exact AS (SELECT query_id, candidate_id,
+                             list_reduce(list_transform(range(1, 65),
+                                i -> qve[i] * cve[i]), (x,y) -> x+y) / (qvn * cvn) AS sim
+                      FROM survivors),
+            ranked AS (SELECT query_id, candidate_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, candidate_id) AS rank,
+                              sim
+                       FROM exact)
          SELECT query_id, candidate_id, rank,
                 CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM ranked WHERE rank <= 5

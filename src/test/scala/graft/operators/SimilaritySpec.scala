@@ -211,6 +211,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getDouble(3) == 0.0) // identical codes -> ADC distance 0
   }
 
+  test("IVFADC: recall@5 close to brute force, planted clone at rank 1") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val clone = emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(100000L))
+    val corpus = emb.unionByName(clone)
+    val queries = corpus.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val adc = Similarity.ivfAdcTopK(corpus, queries, k = 5, rerank = 32)
+    val recall = (exact intersect pairs(adc)).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVFADC recall $recall too low")
+    // the clone's source is query 5's exact nearest neighbor; cell pruning
+    // cannot separate identical vectors and ADC distance 0 survives re-rank
+    val q5 = adc.filter(col("query_id") === 5).orderBy("rank").collect()
+    assert(q5.head.getLong(1) == 100000L, s"clone not at rank 1: ${q5.toSeq}")
+    assert(math.abs(q5.head.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("IVFADC composition: exhaustive rerank equals plain IVF; cells bound ADC work") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with rerank covering every probed candidate the ADC stage filters
+    // nothing, so exact re-rank must reproduce plain IVF exactly — pins
+    // the composition (same cells, same probes, same final ranking)
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, k = 5))
+    val adcAll = pairs(Similarity.ivfAdcTopK(emb, queries, k = 5, rerank = 1000000))
+    assert(adcAll == ivf, "exhaustive-rerank IVFADC diverged from plain IVF")
+    // and the ADC stage's pair space is cell-bounded: the worst case
+    // (every query probing the 4 largest of 16 cells) stays under the
+    // Q*(N-1) pair space pqTopK scores
+    val n = emb.count(); val q = queries.count()
+    val cents = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell_id"), Similarity.toDouble(col("embedding")).as("centroid"))
+    val cellSizes = Similarity.assignCells(emb, cents)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val worstPerQuery = cellSizes.sorted.takeRight(4).sum
+    assert(worstPerQuery * q < q * (n - 1),
+      s"cell pruning not cutting work: $worstPerQuery per query vs ${n - 1}")
+  }
+
   test("pre-assigned IVF (the bucketed-write amortization path) matches inline IVF") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf)
