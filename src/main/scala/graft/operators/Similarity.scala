@@ -22,9 +22,12 @@ object Similarity {
   /** Elementwise float→double widening. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two equal-length double arrays — the
+    * codegen'd [[graft.expr.SeqDot]]: bit-identical to the
+    * `aggregate(zip_with(...))` HOF spelling (same multiply-add order) but
+    * compiled loops instead of ~2·dim interpreted lambda dispatches per
+    * call (measured 5.4s → 1.9s on the 100×-tier brute-force scan). */
+  def dot(a: Column, b: Column): Column = graft.expr.SeqDot.seq_dot(a, b)
 
   /** L2 norm (sequential fold, same ordering guarantees as [[dot]]). */
   def l2Norm(v: Column): Column =
@@ -102,36 +105,22 @@ object Similarity {
       }
       .sortBy(_._1).toSeq
 
-  /** The centroid list as ONE literal node (array<struct<id,vec,norm>>) —
-    * a single `typedlit`, not C×dim scattered `lit`s, so the codegen'd
-    * assignment expression stays small regardless of C. */
-  private def cellsLiteral(cells: Seq[(Long, Seq[Double], Double)]): Column =
-    typedlit(cells)
-
-  /** Map-only nearest-cell assignment: cosine against every centroid in the
-    * literal array, then argmax via `array_max` (n=1) or `array_sort` +
-    * `slice` + `explode` (n>1) — all row-local expressions. Tie-break:
-    * lowest cell_id (the same ordering the old window-based ranking used).
-    * Adds column `out` with the assigned cell id(s). */
-  private def withNearestCells(df: DataFrame, cells: Column, vec: String,
-                               n: Int, out: String): DataFrame = {
-    // cell score = dot/centroid-norm: the row's own norm scales every cell
-    // equally, so dividing by it cannot change the argmax — skip the fold
-    // struct fields: _1 = cell_id, _2 = centroid, _3 = centroid norm
-    val sims = transform(cells, c =>
-      struct((dot(col(vec), c.getField("_2")) / c.getField("_3")).as("csim"),
-        c.getField("_1").as("cell_id")))
-    if (n == 1) {
-      // argmax = array_max over (csim, -cell_id): highest sim, lowest id
-      val best = array_max(transform(sims, s =>
-        struct(s.getField("csim").as("csim"), (-s.getField("cell_id")).as("negid"))))
-      df.withColumn(out, -best.getField("negid"))
-    } else {
-      val ordered = slice(array_sort(transform(sims, s =>
-        struct((-s.getField("csim")).as("negsim"), s.getField("cell_id").as("cell_id")))),
-        1, n)
-      df.withColumn(out, explode(transform(ordered, s => s.getField("cell_id"))))
-    }
+  /** Map-only nearest-cell assignment via the codegen'd
+    * [[graft.expr.NearestCells]] expression: cell score = sequential-fold
+    * dot(vec, centroid)/centroidNorm (the row's own norm scales every cell
+    * equally, so dividing by it cannot change the argmax); tie-break:
+    * lowest cell_id. Scores are bit-identical to the former
+    * `transform`+`aggregate`+`array_sort` HOF pipeline, which performed
+    * C·dim interpreted lambda evaluations per row — at √N-scale C (447
+    * cells on the 100× tier) that overhead was ~100× the arithmetic.
+    * The bounded centroid table ships inside the expression like
+    * [[graft.expr.PqEncode]]'s codebooks. Adds column `out` with the
+    * assigned cell id(s). */
+  private def withNearestCells(df: DataFrame, cells: Seq[(Long, Seq[Double], Double)],
+                               vec: String, n: Int, out: String): DataFrame = {
+    val top = graft.expr.NearestCells.nearest_cells(col(vec), cells, n)
+    if (n == 1) df.withColumn(out, element_at(top, 1))
+    else df.withColumn(out, explode(top))
   }
 
   /** K-means centroid refinement for IVF cells: seed with the numCentroids
@@ -152,7 +141,7 @@ object Similarity {
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     for (_ <- 0 until iters) {
-      val means = withNearestCells(v, cellsLiteral(cells), "v", 1, "cell_id")
+      val means = withNearestCells(v, cells, "v", 1, "cell_id")
         .groupBy("cell_id")
         .agg(graft.functions.VectorAgg.vector_mean(dim)(
           transform(col("v"), _.cast("float"))).as("m"))
@@ -192,7 +181,7 @@ object Similarity {
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     for (_ <- 0 until iters) {
-      val sums = withNearestCells(v, cellsLiteral(cells), "v", 1, "cell_id")
+      val sums = withNearestCells(v, cells, "v", 1, "cell_id")
         .select(col("cell_id"),
           posexplode(transform(col("v"), x => round(x * scale).cast("long"))).as(Seq("pos", "q")))
         .groupBy("cell_id", "pos")
@@ -236,7 +225,7 @@ object Similarity {
                          idCol: String, vecCol: String): DataFrame =
     withNearestCells(
       vectors.select(col(idCol).as("candidate_id"), toDouble(col(vecCol)).as("cv")),
-      cellsLiteral(cells), "cv", 1, "cell")
+      cells, "cv", 1, "cell")
       .withColumn("cn", l2Norm(col("cv")))
 
   private def searchAssigned(assigned: DataFrame, queries: DataFrame,
@@ -245,7 +234,7 @@ object Similarity {
                              idCol: String, vecCol: String): DataFrame = {
     val probes = withNearestCells(
       queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
-      cellsLiteral(cells), "qv", nprobe, "cell")
+      cells, "qv", nprobe, "cell")
       .withColumn("qn", l2Norm(col("qv")))
 
     // no pair-dedup needed: a candidate lives in exactly one cell and a
@@ -397,7 +386,7 @@ object Similarity {
       .select(col("cell"), col("candidate_id"), col("pq_codes"))
     val probes = withNearestCells(
       queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
-      cellsLiteral(cells), "qv", nprobe, "cell")
+      cells, "qv", nprobe, "cell")
       .withColumn("qn", l2Norm(col("qv")))
     // stage 1: ADC over codes, per-query top-`rerank` by ascending distance
     // (negated for the desc-ordered TopKAgg; ties -> lowest candidate_id)
@@ -433,9 +422,9 @@ object Similarity {
   def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
                            numCentroids: Int = 16, nprobe: Int = 2,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = cellsLiteral(collectCells(
+    val cells = collectCells(
       vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     // norms hoisted per row (not per pair): cosine() inline would refold
     // both norms for every in-cell pair
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))

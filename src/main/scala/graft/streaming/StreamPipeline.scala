@@ -19,8 +19,18 @@ import org.apache.spark.sql.types.IntegerType
   */
 object StreamPipeline {
 
-  /** S9: Kafka source — production path (not reachable in tests: no broker;
-    * tests drive [[decode]]+[[start]] through a MemoryStream). */
+  /** S9: Kafka source — production path (not reachable in tests; tests
+    * drive [[decode]]+[[start]] through a MemoryStream).
+    *
+    * Embedded-broker e2e was evaluated (round 4) and is a hard environment
+    * limit, not a build choice: the offline coursier cache holds no
+    * org.apache.kafka artifacts (118 jars: sbt tooling + scalatest +
+    * scalacheck + duckdb_jdbc only), so a KRaft test fixture cannot
+    * resolve, AND `/opt/spark/jars` ships without spark-sql-kafka-0-10,
+    * so `format("kafka")` itself cannot load in this container — an
+    * embedded broker alone would not make this method executable. The
+    * MemoryStream/file twins exercise the identical decode→transform→sink
+    * contract downstream of `load()`. */
   def kafkaSource(spark: SparkSession, broker: String, topic: String): DataFrame =
     spark.readStream
       .format("kafka")
