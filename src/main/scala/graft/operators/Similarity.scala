@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise float→double widening. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise float→double widening — a native array cast (codegen'd
+    * element loop), not a `transform` lambda; the widening is exact either
+    * way. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-fold dot product of two equal-length double arrays — the
     * codegen'd [[graft.expr.SeqDot]]: bit-identical to the
@@ -29,9 +31,11 @@ object Similarity {
     * call (measured 5.4s → 1.9s on the 100×-tier brute-force scan). */
   def dot(a: Column, b: Column): Column = graft.expr.SeqDot.seq_dot(a, b)
 
-  /** L2 norm (sequential fold, same ordering guarantees as [[dot]]). */
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** L2 norm — `sqrt(dot(v, v))`: the self-dot is the same x²-sum in the
+    * same index order as the former `aggregate(transform(...))` fold, so
+    * values are bit-identical, through the compiled [[graft.expr.SeqDot]]
+    * loop. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))

@@ -40,6 +40,12 @@ object ProfilePairs {
     val led = docs.select(col("doc_id").as("id"),
       substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
+    // gram-size ablation: a [a-z0-9] bigram vocabulary is ~1.3k grams, so
+    // big blocks collide at chance level and the equi-join output grows
+    // ~quadratically; trigrams (46k vocab) cut collision odds ~36x while
+    // the count bound stays lossless (40 - 3 + 1 - 10*3 = 8 > 0)
+    time("lev qgram candidates q=2")(PairCandidates.editDistanceCandidates(led, 10, q = 2).count())
+    time("lev qgram candidates q=3")(PairCandidates.editDistanceCandidates(led, 10, q = 3).count())
     time("jaccardPairs auto again")(
       graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
         concat_ws("|", col("lang"), floor(col("n_chars") / 25).cast("long")), 0.2).count())

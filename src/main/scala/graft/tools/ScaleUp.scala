@@ -15,12 +15,28 @@ import org.apache.spark.sql.functions._
   * replicated events share timestamps, which is safe because every
   * order-sensitive query tie-breaks on the (shifted, unique) event_id.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <copies>
+  * With the optional `mutate-docs` flag, each document copy is passed
+  * through a per-copy character-substitution cipher (`translate` with a
+  * deterministic seeded permutation of [a-z0-9]): within-copy Jaccard and
+  * edit distances are EXACTLY the original corpus' (bijective character
+  * maps preserve both), cross-copy token overlap drops to chance, and —
+  * unlike a token-suffix mutation — the cipher adds NO shared substrings,
+  * so gram/token frequency distributions stay isomorphic to the original
+  * (a suffix variant was tried first and its shared `_c` grams became
+  * boilerplate hot keys that blew up the q-gram equi-join). The true
+  * near-dup answer thus grows linearly (copies×) with the corpus instead
+  * of quadratically (clone groups of size `copies`) — the
+  * controlled-density fixture for measuring candidate-generation scaling:
+  * a sub-quadratic candidate stage must track the copies× answer, not the
+  * copies²× naive pair space.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <copies> [mutate-docs]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val mutateDocs = args.length > 3 && args(3) == "mutate-docs"
     val spark = graft.util.Sessions.build("graft-scaleup",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val stride = 100000000L // larger than any key in the driver tiers
@@ -42,7 +58,14 @@ object ScaleUp {
         else raw
       val out = if (keys.isEmpty) base else
         (0 until copies).map { c =>
-          keys.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(c * stride)))
+          val shifted = keys.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(c * stride)))
+          if (mutateDocs && t == "documents") {
+            val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+            val perm = new scala.util.Random(c).shuffle(alphabet.toList).mkString
+            // translate preserves length, so n_chars and the length-bucket
+            // blocking columns stay valid without recomputation
+            shifted.withColumn("text", translate(col("text"), alphabet, perm))
+          } else shifted
         }.reduce(_.unionByName(_))
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
