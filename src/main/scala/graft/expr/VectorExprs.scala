@@ -166,9 +166,14 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
 
 object NearestCells {
   /** `nearest_cells(vec, cells, n)` — top-n cell ids (score DESC, id ASC).
-    * `cells` = (cell_id, centroid, centroidNorm), id-sorted. */
-  def nearest_cells(v: Column, cells: Seq[(Long, Seq[Double], Double)], n: Int): Column =
+    * `cells` = (cell_id, centroid, centroidNorm). Sorted by id here: the
+    * tie-break relies on equal scores arriving in ascending-id order
+    * (an equal score never displaces its predecessor), so the sort is a
+    * correctness precondition, not a convention. */
+  def nearest_cells(v: Column, cells: Seq[(Long, Seq[Double], Double)], n: Int): Column = {
+    val sorted = cells.sortBy(_._1)
     GraftBridge.column(NearestCells(GraftBridge.expression(v),
-      cells.map(_._1).toArray, cells.map(_._2.toArray).toArray,
-      cells.map(_._3).toArray, n))
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray,
+      sorted.map(_._3).toArray, n))
+  }
 }
