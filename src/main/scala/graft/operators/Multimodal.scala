@@ -284,6 +284,86 @@ object Multimodal {
     when(isPng(payload),
       conv(hex(call_function("substr", payload, lit(21), lit(4))), 16, 10).cast("int"))
 
+  /** One decoded audio row: real signal-level features from PCM samples.
+    * `sample_rate == 0` marks a payload no installed reader decodes —
+    * the honest non-audio fallback, never a crash. */
+  case class AudioFeatures(media_id: Long, mime: String, n_bytes: Int,
+                           sample_rate: Int, channels: Int, n_frames: Long,
+                           duration_us: Long, rms: Double, peak: Double)
+
+  /** Audio decoder contract — same batch shape as [[Decoder]]. */
+  trait AudioDecoder extends Serializable {
+    def decode(records: Iterator[MediaRecord]): Iterator[AudioFeatures]
+  }
+
+  /** REAL audio decode via the JDK's own `javax.sound.sampled`
+    * (WAV / AIFF / AU containers; PCM, A-law and µ-law encodings —
+    * headless, zero external dependencies; the audio twin of
+    * [[ImageIODecoder]]). Every stream is converted to 16-bit signed PCM
+    * and scanned once in bounded chunks for RMS and peak amplitude
+    * (normalized to [0, 1]; channels pooled), the features an audio
+    * curation pipeline thresholds on (silence / clipping detection). */
+  class JdkAudioDecoder extends AudioDecoder {
+    def decode(records: Iterator[MediaRecord]): Iterator[AudioFeatures] =
+      records.map { r =>
+        decodeAudioPcm(r.payload).fold(
+          AudioFeatures(r.media_id, r.mime, r.payload.length, 0, 0, 0L, 0L, 0.0, 0.0)) {
+          case (rate, ch, frames, rms, peak) =>
+            val durationUs = if (rate > 0) frames * 1000000L / rate else 0L
+            AudioFeatures(r.media_id, r.mime, r.payload.length,
+              rate, ch, frames, durationUs, rms, peak)
+        }
+      }
+  }
+
+  /** (sampleRate, channels, frames, rms, peak) from any payload the JDK's
+    * audio system can decode; None otherwise. Samples are read through a
+    * fixed 8 KiB buffer — memory is independent of clip length. */
+  private[operators] def decodeAudioPcm(p: Array[Byte]): Option[(Int, Int, Long, Double, Double)] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+      try {
+        val src = in.getFormat
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+        try {
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0
+          var peak = 0.0
+          var samples = 0L
+          var n = pcm.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) {
+              // 16-bit little-endian signed, normalized to [-1, 1)
+              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              samples += 1
+              i += 2
+            }
+            n = pcm.read(buf)
+          }
+          val ch = pcmFmt.getChannels
+          val frames = if (ch > 0) samples / ch else 0L
+          val rms = if (samples > 0) math.sqrt(sumSq / samples) else 0.0
+          Some((pcmFmt.getSampleRate.toInt, ch, frames, rms, peak))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-local audio decode — same `mapPartitions` shape as
+    * [[decodeFeatures]]. */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame,
+                          decoder: AudioDecoder = new JdkAudioDecoder()): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(decoder.decode(_))
+  }
+
   /** Build a media table from any (id, string-payload) source — here the
     * documents table stands in for a binary blob store. */
   def toMediaTable(df: DataFrame, idCol: String, payloadCol: String,

@@ -257,6 +257,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L) == None)
   }
 
+  // real WAV payloads via the JDK's own writer: a full-period square wave
+  // at amplitude A has RMS = peak = A (known in closed form)
+  private def wavBytes(rate: Int, channels: Int, frames: Int, amp: Short): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, channels, channels * 2, rate.toFloat, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    for (f <- 0 until frames; c <- 0 until channels) {
+      val s: Short = if (f % 2 == 0) amp else (-amp).toShort
+      val i = (f * channels + c) * 2
+      pcm(i) = (s & 0xff).toByte; pcm(i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JdkAudioDecoder decodes real WAV PCM: rate, frames, RMS, peak") {
+    val amp: Short = 16384 // amplitude 0.5 full scale
+    val wav = wavBytes(rate = 8000, channels = 2, frames = 4000, amp = amp)
+    val got = new Multimodal.JdkAudioDecoder().decode(Iterator(
+      Multimodal.MediaRecord(30L, "audio/wav", wav))).next()
+    assert(got.sample_rate == 8000 && got.channels == 2 && got.n_frames == 4000)
+    assert(got.duration_us == 500000L) // 4000 frames at 8 kHz = 0.5 s
+    assert(math.abs(got.rms - 0.5) < 1e-9, s"rms ${got.rms}")
+    assert(math.abs(got.peak - 0.5) < 1e-9, s"peak ${got.peak}")
+  }
+
+  test("JdkAudioDecoder runs distributed; non-audio payloads fall back, never crash") {
+    import spark.implicits._
+    val wav = wavBytes(rate = 16000, channels = 1, frames = 1600, amp = 8192)
+    val df = Seq(
+      (40L, "audio/wav", wav),
+      (41L, "text/plain", "definitely not audio".getBytes("UTF-8"))
+    ).toDF("media_id", "mime", "payload").repartition(3)
+    val got = Multimodal.decodeAudioFeatures(spark, df)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(40L).sample_rate == 16000 && got(40L).n_frames == 1600)
+    assert(math.abs(got(40L).rms - 0.25) < 1e-9)
+    assert(got(41L).sample_rate == 0 && got(41L).n_frames == 0) // honest fallback
+  }
+
   test("metadata projection prunes payload from the parquet scan") {
     // write media out, then read back metadata-only: scan must not read payload
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
