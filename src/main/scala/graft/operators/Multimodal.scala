@@ -364,6 +364,86 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(decoder.decode(_))
   }
 
+  /** One decoded video frame: per-frame image features (same feature
+    * contract as [[MediaFeatures]], plus the frame index). */
+  case class FrameFeatures(media_id: Long, mime: String, frame_idx: Int,
+                           width: Int, height: Int, features: Array[Float])
+
+  /** MJPEG frame payloads from an AVI (RIFF) container by pure offset
+    * arithmetic — the video leg of the multimodal family. AVI is
+    * length-prefixed RIFF chunks; video frames live inside the `movi`
+    * LIST as `##dc`/`##db` chunks, and for MJPEG each chunk body is a
+    * standalone JPEG that [[ImageIODecoder]] already decodes. `stride`
+    * implements frame sampling (every stride-th frame) and `maxFrames`
+    * bounds output per clip — both applied DURING the walk, so skipped
+    * frames cost a pointer bump, not a copy. Returns (frame_idx, jpeg
+    * bytes); empty for anything that is not a RIFF/AVI stream. */
+  private[operators] def extractAviFrames(p: Array[Byte], maxFrames: Int = 64,
+                                          stride: Int = 1): Seq[(Int, Array[Byte])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def fourcc(i: Int) = new String(p, i, 4, "US-ASCII")
+    if (p.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var frameIdx = 0
+    def isVideoChunk(cc: String): Boolean =
+      cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+        (cc.substring(2) == "dc" || cc.substring(2) == "db")
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var i = from
+      while (i + 8 <= until && out.size < maxFrames) {
+        val cc = fourcc(i)
+        val size = le32(i + 4)
+        if (size < 0 || i + 8 + size.toLong > until) return // malformed: stop, keep what we have
+        if (cc == "LIST" && size >= 4) {
+          val listType = fourcc(i + 8)
+          // only movi (and nested rec ) lists hold frames; skip hdrl/idx1
+          if (listType == "movi" || listType == "rec ")
+            walk(i + 12, i + 8 + size, inMovi = true)
+        } else if (inMovi && isVideoChunk(cc)) {
+          if (frameIdx % stride == 0)
+            out += ((frameIdx, java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size)))
+          frameIdx += 1
+        }
+        i += 8 + size + (size & 1) // chunks pad to even offsets
+      }
+    }
+    walk(12, p.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** Per-frame feature decode for MJPEG AVI payloads: container walk by
+    * offset arithmetic ([[extractAviFrames]]), then real JPEG pixel decode
+    * per frame ([[decodeImageIO]]). A frame ImageIO cannot decode emits a
+    * zero-dim marker row; a non-AVI payload emits nothing. */
+  class MjpegAviDecoder(featureDim: Int = 8, maxFrames: Int = 64,
+                        stride: Int = 1) extends Serializable {
+    def decode(records: Iterator[MediaRecord]): Iterator[FrameFeatures] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      records.flatMap { r =>
+        extractAviFrames(r.payload, maxFrames, stride).map { case (idx, jpeg) =>
+          decodeImageIO(jpeg).fold(
+            FrameFeatures(r.media_id, r.mime, idx, 0, 0, new Array[Float](featureDim))) {
+            case (w, h, meanR, meanG, meanB) =>
+              val feats = new Array[Float](featureDim)
+              feats(0) = meanR; feats(1) = meanG; feats(2) = meanB
+              if (featureDim > 3)
+                feats(3) = (0.299 * meanR + 0.587 * meanG + 0.114 * meanB).toFloat
+              FrameFeatures(r.media_id, r.mime, idx, w, h, feats)
+          }
+        }
+      }
+    }
+  }
+
+  /** Partition-local video-frame decode — `mapPartitions`, one decoder per
+    * partition, frames never transit the driver. */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+                        decoder: MjpegAviDecoder = new MjpegAviDecoder()): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(decoder.decode(_))
+  }
+
   /** Build a media table from any (id, string-payload) source — here the
     * documents table stands in for a binary blob store. */
   def toMediaTable(df: DataFrame, idCol: String, payloadCol: String,

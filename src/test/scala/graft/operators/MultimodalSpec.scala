@@ -301,6 +301,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(41L).sample_rate == 0 && got(41L).n_frames == 0) // honest fallback
   }
 
+  // minimal-but-real AVI container: RIFF('AVI ' LIST('hdrl' …) LIST('movi'
+  // 00dc-chunks) 'idx1') — the layout every MJPEG AVI has
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      cc.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val idx = chunk("idx1", new Array[Byte](16))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("MJPEG AVI frames extract by container walk and decode as real JPEGs") {
+    // 4 frames, alternating solid-ish colors (JPEG is lossy: tolerance)
+    val reds = encodedImage("jpg", 8, 8)((_, _) => 0xc00000)
+    val blues = encodedImage("jpg", 8, 8)((_, _) => 0x0000c0)
+    val avi = aviBytes(Seq(reds, blues, reds, blues))
+    val all = new Multimodal.MjpegAviDecoder().decode(Iterator(
+      Multimodal.MediaRecord(50L, "video/x-msvideo", avi))).toSeq
+    assert(all.map(_.frame_idx) == Seq(0, 1, 2, 3))
+    assert(all.forall(f => f.width == 8 && f.height == 8))
+    assert(all(0).features(0) > 0.5 && all(0).features(2) < 0.2) // red frame
+    assert(all(1).features(2) > 0.5 && all(1).features(0) < 0.2) // blue frame
+    // stride sampling keeps every 2nd frame, indices preserved
+    val sampled = new Multimodal.MjpegAviDecoder(stride = 2).decode(Iterator(
+      Multimodal.MediaRecord(51L, "video/x-msvideo", avi))).toSeq
+    assert(sampled.map(_.frame_idx) == Seq(0, 2))
+    // maxFrames bounds output
+    val capped = new Multimodal.MjpegAviDecoder(maxFrames = 3).decode(Iterator(
+      Multimodal.MediaRecord(52L, "video/x-msvideo", avi))).toSeq
+    assert(capped.size == 3)
+  }
+
+  test("video decode runs distributed; non-AVI payloads emit nothing") {
+    import spark.implicits._
+    val avi = aviBytes(Seq(encodedImage("jpg", 4, 4)((_, _) => 0x808080)))
+    val df = Seq(
+      (60L, "video/x-msvideo", avi),
+      (61L, "text/plain", "not a container".getBytes("UTF-8")),
+      (62L, "video/x-msvideo", avi.take(20)) // truncated: stops clean
+    ).toDF("media_id", "mime", "payload").repartition(3)
+    val got = Multimodal.decodeVideoFrames(spark, df).collect()
+    assert(got.map(_.media_id).toSet == Set(60L))
+    assert(got.length == 1 && got.head.width == 4)
+  }
+
   test("metadata projection prunes payload from the parquet scan") {
     // write media out, then read back metadata-only: scan must not read payload
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
