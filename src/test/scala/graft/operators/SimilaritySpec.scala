@@ -100,6 +100,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"corpus-side shuffle crept into assignment ($exchanges):\n$plan")
   }
 
+  test("IVFADC plan: both stages broadcast-join; the corpus is never shuffled") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val plan = Similarity.ivfAdcTopK(emb, queries, k = 5, rerank = 16)
+      .queryExecution.executedPlan.toString
+    // ADC stage joins broadcast probes; exact stage joins broadcast
+    // survivors + broadcast queries — the corpus streams through both
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for a join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected broadcast joins at both stages:\n$plan")
+    // exchanges carry only bounded TopKAgg partials (ADC top-rerank, final
+    // top-k) and the final presentation sort — never corpus rows
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"corpus-side shuffle crept in ($exchanges):\n$plan")
+  }
+
   test("fixed-point k-means is bit-invariant to partitioning") {
     val emb = Tables.embeddings(spark, sf)
     def centroids(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
