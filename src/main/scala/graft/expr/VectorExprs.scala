@@ -32,7 +32,9 @@ case class SeqDot(left: Expression, right: Expression) extends BinaryExpression 
     }
 
   /** Shared by interpreted eval and the generated code (one virtual call
-    * per row; the loop itself is JIT-compiled — same speed as inlining). */
+    * per row; the loop itself is JIT-compiled — same speed as inlining).
+    * A null ELEMENT nulls the result, exactly as the HOF fold would
+    * (null product poisons the running sum). */
   def dot(aAny: Any, bAny: Any): Any = {
     val a = aAny.asInstanceOf[ArrayData]
     val b = bAny.asInstanceOf[ArrayData]
@@ -41,7 +43,11 @@ case class SeqDot(left: Expression, right: Expression) extends BinaryExpression 
     else {
       var d = 0.0
       var i = 0
-      while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        d += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
       java.lang.Double.valueOf(d)
     }
   }
@@ -102,7 +108,9 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
       s"$prettyName needs array<double>, got ${other.sql}")
   }
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. A vector whose length
+    * differs from the centroids' fails LOUDLY — a truncated dot product
+    * would assign to silently wrong cells (the PqAdcDistance lesson). */
   def assign(vAny: Any): Any = {
     val v = vAny.asInstanceOf[ArrayData]
     val dim = v.numElements()
@@ -113,10 +121,12 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
     var ci = 0
     while (ci < c) {
       val cent = centroids(ci)
-      val len = math.min(dim, cent.length)
+      if (cent.length != dim)
+        throw new IllegalArgumentException(
+          s"$prettyName: vector has $dim dims but centroid ${cellIds(ci)} has ${cent.length}")
       var d = 0.0
       var j = 0
-      while (j < len) { d += v.getDouble(j) * cent(j); j += 1 }
+      while (j < dim) { d += v.getDouble(j) * cent(j); j += 1 }
       val s = d / norms(ci)
       val id = cellIds(ci)
       // insertion position: before the first entry this score beats

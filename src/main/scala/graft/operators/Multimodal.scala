@@ -389,7 +389,11 @@ object Multimodal {
     def isVideoChunk(cc: String): Boolean =
       cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
         (cc.substring(2) == "dc" || cc.substring(2) == "db")
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+    // depth cap: real AVI nests at most LIST('movi' LIST('rec ' …)) — a
+    // crafted LIST-in-LIST chain would otherwise recurse once per 8 bytes
+    // of payload and overflow the stack mid-partition
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int = 0): Unit = {
+      if (depth > 8) return
       var i = from
       while (i + 8 <= until && out.size < maxFrames) {
         val cc = fourcc(i)
@@ -399,7 +403,7 @@ object Multimodal {
           val listType = fourcc(i + 8)
           // only movi (and nested rec ) lists hold frames; skip hdrl/idx1
           if (listType == "movi" || listType == "rec ")
-            walk(i + 12, i + 8 + size, inMovi = true)
+            walk(i + 12, i + 8 + size, inMovi = true, depth + 1)
         } else if (inMovi && isVideoChunk(cc)) {
           if (frameIdx % stride == 0)
             out += ((frameIdx, java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size)))

@@ -59,6 +59,26 @@ class VectorExprsSpec extends AnyFunSuite {
       .head().getSeq[Long](0) == Seq(3L, 5L, 9L))
   }
 
+  test("seq_dot: a null element nulls the result, like the HOF fold") {
+    import spark.implicits._
+    val df = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      SeqDot.seq_dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof")).head()
+    assert(got.isNullAt(0) && got.isNullAt(1))
+  }
+
+  test("nearest_cells rejects dimension mismatch loudly, never a partial dot") {
+    import spark.implicits._
+    val cs = cells(Seq(1L -> Seq(1.0, 0.0, 0.0)))
+    val df = Seq(Tuple1(Array(1.0, 0.5))).toDF("v") // 2 dims vs 3-dim centroid
+    intercept[Exception] {
+      df.select(NearestCells.nearest_cells(col("v"), cs, 1)).collect()
+    }
+  }
+
   test("nearest_cells matches the HOF argmax/sort formulation on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

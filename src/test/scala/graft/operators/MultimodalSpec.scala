@@ -339,6 +339,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(capped.size == 3)
   }
 
+  test("adversarial LIST-in-LIST nesting is depth-capped, not a stack overflow") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    // 100k nested LISTs — built outside-in (sizes are closed-form: the
+    // k-th innermost LIST body is 4 + 12k bytes), so no quadratic copying
+    val depth = 100000
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(4 + depth * 12))
+    out.write("AVI ".getBytes("US-ASCII"))
+    for (d <- (depth - 1) to 0 by -1) {
+      out.write("LIST".getBytes("US-ASCII")); out.write(le32(4 + 12 * d))
+      out.write("rec ".getBytes("US-ASCII"))
+    }
+    val payload = out.toByteArray
+    // must not throw (StackOverflowError) and yields no frames
+    assert(Multimodal.extractAviFrames(payload).isEmpty)
+  }
+
   test("video decode runs distributed; non-AVI payloads emit nothing") {
     import spark.implicits._
     val avi = aviBytes(Seq(encodedImage("jpg", 4, 4)((_, _) => 0x808080)))
