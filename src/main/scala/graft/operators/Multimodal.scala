@@ -467,13 +467,19 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th fixed-size byte window of the payload
     * — the binary-slicing primitive video pipelines need, as a pure column
-    * expression (substr on binary is codegen'd). */
+    * expression (substr on binary is codegen'd). A payload shorter than one
+    * frame yields an EMPTY array: `sequence(1, 0)` counts DOWN in Spark
+    * (yielding [1, 0]), so the zero-frame case needs the explicit guard or
+    * short payloads emit two garbage frames. */
   def sampleFrames(payload: org.apache.spark.sql.Column,
-                   frameSize: Int, stride: Int): org.apache.spark.sql.Column =
-    transform(
-      sequence(lit(1), greatest(
-        floor((octet_length(payload) - frameSize) / stride).cast("int") + 1, lit(0))),
-      i => call_function("substr", payload, (i - 1) * stride + 1, lit(frameSize)))
+                   frameSize: Int, stride: Int): org.apache.spark.sql.Column = {
+    val count = greatest(
+      floor((octet_length(payload) - frameSize) / stride).cast("int") + 1, lit(0))
+    when(count >= 1,
+      transform(sequence(lit(1), count),
+        i => call_function("substr", payload, (i - 1) * stride + 1, lit(frameSize))))
+      .otherwise(array().cast("array<binary>"))
+  }
 
   /** Metadata-only projection — never touches payload bytes beyond length +
     * hash; the parquet scan prunes to the needed columns. */

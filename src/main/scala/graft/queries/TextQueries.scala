@@ -151,7 +151,25 @@ object TextQueries {
         md5(col("payload")).as("payload_md5"))
       .orderBy("doc_id")
 
+  /** Frame sampling as a DECLARED surface: every 8-byte-strided 16-byte
+    * window of the payload, identified by md5 — the binary-slicing
+    * primitive of a video pipeline ([[graft.operators.Multimodal
+    * .sampleFrames]]), fully oracle-checkable because the slicing is pure
+    * byte arithmetic both engines express. Docs shorter than one frame
+    * contribute zero rows (the sequence(1,0)-counts-down regression this
+    * query pins at every tier). */
+  def frameSlices(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), posexplode(
+        graft.operators.Multimodal.sampleFrames(col("payload"), frameSize = 16, stride = 8))
+        .as(Seq("pos", "frame")))
+      .select(col("doc_id"), (col("pos") + 1).as("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frame_slices"      -> (frameSlices _),
     "q_text_stats"        -> (textStats _),
     "q_token_count"       -> (tokenCounts _),
     "q_ngram_cardinality" -> (ngramCardinality _),
@@ -261,5 +279,17 @@ object TextQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    // DuckDB 1.0 has no BLOB substring, so the oracle slices the VARCHAR —
+    // equivalent to Spark's byte-based frames because the corpus is pure
+    // ASCII at every tier (octet_length == length for all docs, checked);
+    // a non-ASCII doc would hash-mismatch and surface here, not hide.
+    "q_frame_slices" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(range(1, CAST(greatest(floor((length(text) - 16) / 8) + 1, 0)
+                                                AS BIGINT) + 1)) AS frame_idx
+                    FROM documents)
+         SELECT doc_id, frame_idx,
+                md5(substring(text, CAST((frame_idx - 1) * 8 + 1 AS BIGINT), 16)) AS frame_md5
+         FROM f ORDER BY doc_id, frame_idx""",
   )
 }

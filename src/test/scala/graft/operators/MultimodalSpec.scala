@@ -40,6 +40,11 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = one.select(Multimodal.sampleFrames(col("payload"), frameSize = 4, stride = 3).as("f"))
       .head().getSeq[Array[Byte]](0).map(new String(_, "UTF-8"))
     assert(frames == Seq("abcd", "defg", "ghij"))
+    // payload shorter than one frame: EMPTY, not sequence(1,0)'s [1, 0]
+    val short = Seq((2L, "m", "ab".getBytes("UTF-8"))).toDF("media_id", "mime", "payload")
+      .select(Multimodal.sampleFrames(col("payload"), frameSize = 4, stride = 3).as("f"))
+      .head().getSeq[Array[Byte]](0)
+    assert(short.isEmpty, s"short payload produced ${short.size} frames")
   }
 
   // crafted real headers: 64x32 PNG, 300x200 GIF, 640x480 baseline JPEG
