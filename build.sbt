@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked program output through verbatim: the per-round bench driver
+// parses the summary JSON off stdout, and sbt's default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks that parse
+// (BENCH r1-r4 all recorded parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and keep sbt's own chatter off stdout around it: no trailing
+// "[success] Total time" line, so the summary JSON is the final line.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
