@@ -14,15 +14,19 @@ import org.apache.spark.sql.functions.col
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted catalog table. Joins/aggregations on
-    * `keys` between tables bucketed the same way plan without Exchange. */
+    * `keys` between tables bucketed the same way plan without Exchange.
+    * With `path` set, the table is EXTERNAL at that location — callers that
+    * rebuild per session point it at a unique temp dir so concurrent
+    * sessions over the same data never race on a shared warehouse dir. */
   def writeBucketed(df: DataFrame, tableName: String, keys: Seq[String],
-                    numBuckets: Int): Unit =
-    df.write
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(tableName)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 
   /** Write a directory layout partitioned by the given columns; filters on
     * them prune at the directory level (PartitionFilters in the scan). */

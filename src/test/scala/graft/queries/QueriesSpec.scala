@@ -53,6 +53,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
 
+  test("bucketed star join plans zero Exchange below the fact-fact join") {
+    // at sf0.001 Catalyst would broadcast tiny orders outright; force the
+    // at-scale shape (fact sides too big to broadcast — the 1000×-tier plan)
+    // while the dimension sides keep their explicit broadcast() hints
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val plan = RelationalQueries.starJoinBucketed(spark, sf)
+        .queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a SortMergeJoin over the bucketed scans:\n$plan")
+      val shufflesBelow = "(?<!Broadcast)Exchange".r.findAllIn(plan.substring(joinIdx)).size
+      assert(shufflesBelow == 0, s"bucketed join still exchanges:\n$plan")
+      assert(plan.substring(joinIdx).contains("SelectedBucketsCount"),
+        s"join inputs are not the bucketed scans:\n$plan")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("projection prunes the parquet scan to selected columns") {
     val plan = RelationalQueries.project(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"),
