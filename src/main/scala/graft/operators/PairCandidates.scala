@@ -59,10 +59,11 @@ object PairCandidates {
     * BOUNDED: at [[statsCap]] entries the memo is dropped wholesale — a
     * long-lived session (streaming driver, notebook) must not grow it
     * monotonically, and re-paying one cheap aggregate after a flush is
-    * far cheaper than an unbounded map. The flush is also the staleness
-    * valve: data regenerated under the same path/plan re-probes after the
-    * next flush (or [[invalidateStats]]) instead of trusting a stale
-    * max-block-size forever. */
+    * far cheaper than an unbounded map. Staleness is handled by the KEY,
+    * not the flush: [[maxBlockSize]] folds the leaf file listing (mod
+    * times + sizes) into it, so data regenerated under the same path/plan
+    * re-probes immediately — [[invalidateStats]] remains for non-file
+    * inputs mutated in place. */
   private val blockStats = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[operators] val statsCap = 64
   private[operators] def statsSize: Int = blockStats.size()
@@ -73,11 +74,39 @@ object PairCandidates {
     blockStats.computeIfAbsent(key, _ => compute).longValue
   }
 
+  /** Commutative fingerprint of the file listing behind every file-backed
+    * leaf of the plan (sum over files of a (modTime, length) hash — order-
+    * independent, so listing order can't cause spurious re-probes). This is
+    * exactly as fresh as what Spark will SCAN for the query — if a tier is
+    * regenerated at the same path, the listing the engine reads changes and
+    * so does this key, which is what makes the memo safe across data
+    * rewrites within one session. Non-file leaves (in-memory test data)
+    * contribute nothing; their changes surface through semanticHash. */
+  private def dataFingerprint(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    var acc = 0L
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).foreach { pd =>
+              pd.files.foreach { f =>
+                acc += f.getModificationTime * 31L + f.getLen
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    acc
+  }
+
   /** Row count of the largest block — the one cheap aggregate the strategy
-    * switch needs (memoized per logical plan). */
+    * switch needs (memoized per logical plan + underlying file state). */
   def maxBlockSize(blocked: DataFrame): Long = {
     val key = blocked.sparkSession.hashCode().toString + "#" +
-      blocked.queryExecution.analyzed.semanticHash().toString
+      blocked.queryExecution.analyzed.semanticHash().toString + "#" +
+      dataFingerprint(blocked).toString
     memoizedStat(key) {
       val top = blocked.groupBy("block").agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).collect()

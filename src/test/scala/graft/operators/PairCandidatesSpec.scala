@@ -136,6 +136,21 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"q-gram filter lost true pairs: $missed")
   }
 
+  test("rewriting the data behind the same path re-probes without invalidateStats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blockstats_").toString
+    def blocked = spark.read.parquet(dir)
+      .select(col("id"), col("block"))
+    (0L until 10L).map(i => (i, "b")).toDF("id", "block")
+      .write.mode("overwrite").parquet(dir)
+    assert(PairCandidates.maxBlockSize(blocked) == 10L)
+    // regenerate LARGER data at the same path — same plan shape, same
+    // semanticHash; only the file listing differs. The memo key must see it.
+    (0L until 2000L).map(i => (i, "b")).toDF("id", "block")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    assert(PairCandidates.maxBlockSize(blocked) == 2000L,
+      "stale max-block-size survived a data rewrite at the same path")
+  }
+
   test("strategy-stat memo is bounded and keeps working across flushes") {
     PairCandidates.invalidateStats()
     (0 until PairCandidates.statsCap * 3).foreach { i =>
