@@ -74,39 +74,16 @@ object PairCandidates {
     blockStats.computeIfAbsent(key, _ => compute).longValue
   }
 
-  /** Commutative fingerprint of the file listing behind every file-backed
-    * leaf of the plan (sum over files of a (modTime, length) hash — order-
-    * independent, so listing order can't cause spurious re-probes). This is
-    * exactly as fresh as what Spark will SCAN for the query — if a tier is
-    * regenerated at the same path, the listing the engine reads changes and
-    * so does this key, which is what makes the memo safe across data
-    * rewrites within one session. Non-file leaves (in-memory test data)
-    * contribute nothing; their changes surface through semanticHash. */
-  private def dataFingerprint(df: DataFrame): Long = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    var acc = 0L
-    df.queryExecution.analyzed.foreach {
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.listFiles(Nil, Nil).foreach { pd =>
-              pd.files.foreach { f =>
-                acc += f.getModificationTime * 31L + f.getLen
-              }
-            }
-          case _ => ()
-        }
-      case _ => ()
-    }
-    acc
-  }
-
   /** Row count of the largest block — the one cheap aggregate the strategy
-    * switch needs (memoized per logical plan + underlying file state). */
+    * switch needs (memoized per logical plan + underlying file state; the
+    * file-state half is [[graft.util.DataFingerprint]], which covers V1 and
+    * DSv2 file scans and memoizes the listing traversal per FileIndex so
+    * repeated lookups over one plan don't re-walk a millions-of-files
+    * listing). */
   def maxBlockSize(blocked: DataFrame): Long = {
     val key = blocked.sparkSession.hashCode().toString + "#" +
       blocked.queryExecution.analyzed.semanticHash().toString + "#" +
-      dataFingerprint(blocked).toString
+      graft.util.DataFingerprint.of(blocked).toString
     memoizedStat(key) {
       val top = blocked.groupBy("block").agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).collect()

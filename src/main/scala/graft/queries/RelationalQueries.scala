@@ -108,37 +108,48 @@ object RelationalQueries {
 
   /** J2 on the BUCKETED layout — the zero-Exchange plan ProbeBucketed
     * demonstrated at the 1000× tier (25 s vs 67 s raw at 600 M rows), now a
-    * declared, oracle-checked query. Once per (session, dataset) the two
-    * fact-side tables are written bucketed+sorted on the join key to a
-    * unique temp dir (the amortized-IVF pattern: layout cost is one-time;
-    * repeat invocations — Bench's median-of-3, every later query batch —
-    * time the JOIN, which plans SortMergeJoin with NO Exchange on either
-    * side). Same result as [[starJoin]], so the same oracle SQL checks it. */
+    * declared, oracle-checked query. Once per (session, dataset, data
+    * fingerprint) the two fact-side tables are written bucketed+sorted on
+    * the join key to a unique temp dir (the amortized-IVF pattern: layout
+    * cost is one-time; repeat invocations — Bench's median-of-3, every later
+    * query batch — time the JOIN, which plans SortMergeJoin with NO Exchange
+    * on either side). Same result as [[starJoin]], so the same oracle SQL
+    * checks it.
+    *
+    * Memo hygiene (ADVICE round 5): the key folds a leaf-file fingerprint of
+    * both fact inputs, so data regenerated under the same path re-buckets
+    * instead of serving the stale snapshot; table names come from a
+    * collision-free counter (a 32-bit hashCode collision would let the
+    * second dataset's Overwrite clobber the first's live tables); the write
+    * jobs run OUTSIDE the memo's bin lock ([[graft.util.Memo.once]]); and
+    * the temp layout is registered with [[graft.util.TempLayouts]] for
+    * deletion at JVM exit. */
   private val bucketedStarTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[(String, String)]]()
+  private val bucketedTag = new java.util.concurrent.atomic.AtomicInteger()
 
   def starJoinBucketed(s: SparkSession, d: String): DataFrame = {
-    val (liTable, oTable) = bucketedStarTables.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + d, _ => {
-        // table names must be unique per (app, dataset): the in-memory
-        // catalog is shared across sessions of one SparkContext
-        val tag = java.lang.Integer.toHexString(
-          (s.sparkContext.applicationId + "|" + d).hashCode)
-        val (liT, oT) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
-        val dir = java.nio.file.Files.createTempDirectory("graft_star_bucketed_")
-        val li = lineitem(s, d).select(
-          col("l_orderkey"),
-          (col("l_extendedprice").cast(DecimalType(12, 2)) *
-            (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) -
-              col("l_discount").cast(DecimalType(12, 2)))).as("rev"))
-        val o = orders(s, d).select("o_orderkey", "o_custkey")
-          .withColumnRenamed("o_orderkey", "l_orderkey")
-        graft.ops.Bucketing.writeBucketed(li, liT, Seq("l_orderkey"), 32,
-          Some(s"$dir/li"))
-        graft.ops.Bucketing.writeBucketed(o, oT, Seq("l_orderkey"), 32,
-          Some(s"$dir/o"))
-        (liT, oT)
-      })
+    val li = lineitem(s, d).select(
+      col("l_orderkey"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) -
+          col("l_discount").cast(DecimalType(12, 2)))).as("rev"))
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val key = s.sparkContext.applicationId + "|" + d + "#" +
+      (graft.util.DataFingerprint.of(li) * 31L + graft.util.DataFingerprint.of(o))
+    val (liTable, oTable) = graft.util.Memo.once(bucketedStarTables, key) {
+      val tag = bucketedTag.getAndIncrement()
+      val (liT, oT) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
+      val dir = graft.util.TempLayouts.register(
+        java.nio.file.Files.createTempDirectory("graft_star_bucketed_"))
+      graft.ops.Bucketing.writeBucketed(li, liT, Seq("l_orderkey"), 32,
+        Some(s"$dir/li"))
+      graft.ops.Bucketing.writeBucketed(o, oT, Seq("l_orderkey"), 32,
+        Some(s"$dir/o"))
+      (liT, oT)
+    }
     val c = customer(s, d).select("c_custkey", "c_nationkey")
     val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
     val r = region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")

@@ -70,20 +70,30 @@ object SimilarityQueries {
     * session (Bench's median-of-3) time the SEARCH, which is the cost a
     * production query batch pays. Stage-for-stage identical to
     * [[cosineTopKIvf]], so the same oracle SQL checks it value-for-value
-    * (double arrays round-trip parquet exactly). */
-  private val assignedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * (double arrays round-trip parquet exactly).
+    *
+    * Memo hygiene mirrors [[RelationalQueries.starJoinBucketed]]: the key
+    * folds the corpus' leaf-file fingerprint (same-path rewrites re-assign
+    * instead of serving the stale layout), the write job runs outside the
+    * memo's bin lock, and the dir is deleted at JVM exit
+    * ([[graft.util.TempLayouts]]). */
+  private val assignedDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   def cosineTopKIvfAssigned(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val centroids = emb.orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("cell_id"),
         Similarity.toDouble(col("embedding")).as("centroid"))
-    // bounded: one entry per (application, dataset dir) for the JVM's life
-    val dir = assignedDirs.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_assigned_")
+    // bounded: one entry per (application, dataset dir, data fingerprint)
+    val key = s.sparkContext.applicationId + "|" + d + "#" +
+      graft.util.DataFingerprint.of(emb)
+    val dir = graft.util.Memo.once(assignedDirs, key) {
+      val path = graft.util.TempLayouts.register(
+        java.nio.file.Files.createTempDirectory("graft_ivf_assigned_"))
       Similarity.assignCells(emb, centroids).write.mode("overwrite").parquet(path.toString)
       path.toString
-    })
+    }
     Similarity.ivfTopKAssigned(s.read.parquet(dir),
         emb.filter(col("vec_id") < 64), centroids, k = 5)
       .select(col("query_id"), col("candidate_id"), col("rank"),

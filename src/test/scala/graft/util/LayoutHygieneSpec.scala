@@ -1,0 +1,95 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-6 hygiene pins (VERDICT round 5 "what's wrong" #1/#2 + ADVICE):
+  * temp-layout cleanup, fingerprint listing amortization, DSv2 coverage,
+  * and the bucketed-join staleness contract. */
+class LayoutHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("TempLayouts deletes every registered dir (the shutdown hook's body)") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_layout_a_")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_layout_b_")
+    java.nio.file.Files.write(d1.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectories(d2.resolve("nested"))
+    java.nio.file.Files.write(d2.resolve("nested").resolve("f"), Array[Byte](4))
+    TempLayouts.register(d1)
+    TempLayouts.register(d2)
+    TempLayouts.deleteAll()
+    assert(!java.nio.file.Files.exists(d1), "registered dir survived cleanup")
+    assert(!java.nio.file.Files.exists(d2), "nested registered dir survived cleanup")
+    assert(TempLayouts.registeredCount == 0)
+  }
+
+  test("fingerprint listing runs once per FileIndex, re-lists per fresh plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toString
+    (0L until 100L).toDF("id").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val before = DataFingerprint.listingsPerformed.get()
+    val f1 = DataFingerprint.of(df)
+    assert(DataFingerprint.listingsPerformed.get() == before + 1)
+    val f2 = DataFingerprint.of(df) // same plan object: memo hit, no traversal
+    assert(f1 == f2)
+    assert(DataFingerprint.listingsPerformed.get() == before + 1,
+      "second fingerprint of the same plan re-walked the listing")
+    val fresh = spark.read.parquet(dir) // new FileIndex: freshness demands a re-list
+    assert(DataFingerprint.of(fresh) == f1)
+    assert(DataFingerprint.listingsPerformed.get() == before + 2)
+  }
+
+  test("fingerprint sees a same-path rewrite through a fresh plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_rw_").toString
+    (0L until 10L).toDF("id").write.mode("overwrite").parquet(dir)
+    val f1 = DataFingerprint.of(spark.read.parquet(dir))
+    (0L until 5000L).toDF("id").repartition(3).write.mode("overwrite").parquet(dir)
+    val f2 = DataFingerprint.of(spark.read.parquet(dir))
+    assert(f1 != f2, "rewritten data produced the same fingerprint")
+  }
+
+  test("fingerprint covers DSv2 file scans and matches the V1 value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_v2_").toString
+    (0L until 50L).toDF("id").write.mode("overwrite").parquet(dir)
+    val v1 = DataFingerprint.of(spark.read.parquet(dir))
+    val key = "spark.sql.sources.useV1SourceList"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "")
+    try {
+      val df = spark.read.parquet(dir)
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      assert(df.queryExecution.analyzed.exists(_.isInstanceOf[DataSourceV2Relation]),
+        "fixture did not produce a DSv2 scan — conf route changed?")
+      val v2 = DataFingerprint.of(df)
+      assert(v2 == v1, "DSv2 fingerprint diverges from V1 over identical files")
+      assert(v2 != 0L)
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("bucketed star join re-buckets when data at the same path is regenerated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_star_stale_").toString
+    Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    def revenue(): Map[String, Double] =
+      graft.queries.RelationalQueries.starJoinBucketed(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = revenue()
+    assert(r1.nonEmpty)
+    // regenerate lineitem AT THE SAME PATH with doubled prices: the memo key
+    // folds the leaf-file fingerprint, so the query must re-bucket and the
+    // revenue must exactly double (decimal arithmetic — no float slack)
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r2 = revenue()
+    r1.foreach { case (nation, rev) =>
+      assert(math.abs(r2(nation) - 2 * rev) <= 1e-9 * math.abs(rev),
+        s"stale bucketed snapshot served for $nation: ${r2(nation)} vs 2*$rev")
+    }
+  }
+}
