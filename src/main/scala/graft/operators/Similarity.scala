@@ -416,6 +416,75 @@ object Similarity {
       k)
   }
 
+  /** Residual-encoding IVFADC — the classic Jégou et al. (TPAMI 2011, §IV.A)
+    * refinement [[ivfAdcTopK]] explicitly defers: each vector is PQ-encoded
+    * as its RESIDUAL v − centroid(cell(v)) instead of raw. Residuals cluster
+    * tightly around 0 (the coarse quantizer has already removed the
+    * between-cell variance), so the same m/K codebook budget spends its
+    * precision on a much smaller ball — lower quantization error, better
+    * ADC ordering, higher recall at equal code size (spec-pinned in
+    * SimilaritySpec on both counts). The trade: codes are coupled to the
+    * coarse quantizer (change the centroids → re-encode the corpus), which
+    * is why the raw variant stays available for precompute-once pipelines.
+    *
+    * ADC validity: query and candidate subtract the SAME probe-cell
+    * centroid, so ||q − v|| = ||(q − c) − (v − c)|| exactly — the residual
+    * ADC distance approximates the true distance with only codebook error.
+    * The centroid lookup rides into the plan as one bounded map literal
+    * (the IVF-centroid pattern); assignment + residual + encode stay
+    * map-only, probes broadcast, shuffles carry only bounded TopKAgg
+    * partials — the same 100 TB shape as the raw variant, and the same
+    * end-to-end determinism (every tie → lowest id/code), so the pipeline
+    * is oracle-checkable value-for-value. */
+  def ivfAdcResidualTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                         numCentroids: Int = 16, nprobe: Int = 4,
+                         m: Int = 8, kCodes: Int = 16, dim: Int = 64, rerank: Int = 32,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val cells = collectCells(centroidsOverride.getOrElse(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+    val centMap = typedlit(cells.map { case (id, c, _) => id -> c }.toMap)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centMap, cell), (a, b) => a - b)
+    // candidate side: assign, take the residual, encode — all map-only
+    val withRes = assignWith(vectors, cells, idCol, vecCol)
+      .withColumn("rv", residual(col("cv"), col("cell")))
+    // codebooks seeded from the kCodes lowest-id vectors' RESIDUALS (the
+    // same deterministic convention as the raw variant's pqCodebooks)
+    val cbs = pqCodebooks(withRes, m, kCodes, dim, "candidate_id", "rv")
+    val assigned = withRes
+      .withColumn("pq_codes", graft.expr.PqEncode.pq_encode(col("rv"), cbs))
+      .select(col("cell"), col("candidate_id"), col("pq_codes"))
+    val probes = withNearestCells(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
+      cells, "qv", nprobe, "cell")
+      .withColumn("qn", l2Norm(col("qv")))
+    // stage 1: ADC between the query's PER-CELL residual and the candidate's
+    // residual reconstruction; top-`rerank` per query by ascending distance
+    val survivors = assigned
+      .join(broadcast(probes.select(col("cell"), col("query_id"),
+        residual(col("qv"), col("cell")).as("qr"))), Seq("cell"))
+      .filter(col("query_id") =!= col("candidate_id"))
+      .withColumn("nd",
+        -graft.expr.PqAdcDistance.pq_adc_distance(col("pq_codes"), col("qr"), cbs))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(rerank)(col("candidate_id"), col("nd")).as("top"))
+      .select(col("query_id"),
+        explode(transform(col("top"), t => t.getField("id"))).as("candidate_id"))
+    // stage 2: exact cosine re-rank of the survivors from full vectors
+    val qSide = broadcast(probes.select("query_id", "qv", "qn").dropDuplicates("query_id"))
+    val cand = vectors
+      .select(col(idCol).as("candidate_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .join(broadcast(survivors), Seq("candidate_id"))
+    rankTopK(
+      cand.join(qSide, Seq("query_id"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select("query_id", "candidate_id", "sim"),
+      k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
     * the embedding-space cousin of [[Dedup.minhashNearDuplicates]].
     *

@@ -116,9 +116,32 @@ object SimilarityQueries {
     val n = emb.count()
     val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
     val np = math.max(2, c / 12)
-    val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 1)
+    // iters = 2 (round 6): the fixed-point trick survives composition — each
+    // round's long sums are exact and order-independent, so the whole chain
+    // stays bit-identical across partitionings and engines (spec-pinned
+    // per-iteration in SimilaritySpec)
+    val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 2)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), k = 5,
         numCentroids = c, nprobe = np, centroidsOverride = Some(refined))
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Residual-encoding IVFADC, declared ([[Similarity.ivfAdcResidualTopK]]):
+    * the coarse quantizer is one fixed-point Lloyd round over the 16
+    * lowest-id seeds (residuals need MEAN centroids — against raw seed
+    * points the seeds' own residuals are zero and the codebook degenerates,
+    * see SimilaritySpec), candidates are PQ-encoded as v − centroid(cell),
+    * ADC scores (q − centroid) against the residual reconstruction, and the
+    * top-16 re-rank exactly. Every stage deterministic (ties → lowest
+    * id/code; sequential folds), so the DuckDB oracle mirrors the pipeline
+    * value-for-value like the raw-encoding [[cosineTopKIvfAdc]]. */
+  def cosineTopKIvfAdcRes(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val refined = Similarity.kmeansCentroidsFixedPoint(emb, numCentroids = 16, iters = 1)
+    Similarity.ivfAdcResidualTopK(emb, emb.filter(col("vec_id") < 64), k = 5, rerank = 16,
+        centroidsOverride = Some(refined))
       .select(col("query_id"), col("candidate_id"), col("rank"),
         round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
       .orderBy("query_id", "rank")
@@ -225,6 +248,175 @@ object SimilarityQueries {
       .select(col("doc_id"), Dedup.arithSimhash32(col("text")).as("simhash32"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // Generated oracle fragments for the fixed-point-Lloyd IVF family.
+  //
+  // STREAMING shape (round 6, VERDICT r5 #1): every per-vector argmax/argmin
+  // is a max()/min() aggregate over SCALAR (id, cell, score) rows — never a
+  // row_number window over C·N rows carrying the 64-dim lists, which is what
+  // exhausted DuckDB's temp disk at C=447 × 200 k vectors on the 100× tier.
+  // The float-equality joins (score = max(score)) are exact: both sides are
+  // the same deterministic expression over the same rows, and the aggregate
+  // returns one of its inputs bit-for-bit. Tie-breaks (min(cell_id),
+  // min(code)) mirror NearestCells/PqEncode exactly.
+  // ---------------------------------------------------------------------
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), j -> $a[j] * $b[j]), (x,y) -> x+y)"
+
+  private def sqlNorm(v: String): String =
+    s"sqrt(list_reduce(list_transform($v, x -> x*x), (a,b) -> a+b))"
+
+  /** WITH-fragment: `iters` rounds of fixed-point Lloyd over CTE `v`
+    * (vec_id, ve), seeded from the `cExpr` lowest-id vectors; final CTE is
+    * `cents_<iters>` (cell_id, cv). Mirrors
+    * [[Similarity.kmeansCentroidsFixedPoint]] round-for-round: assignment by
+    * max dot/centroidNorm (tie → lowest cell), means from exact
+    * round(x·2^20) long sums (order-independent in both engines), empty
+    * cells keep their previous centroid. `parJoin` (e.g. ", par") rides a
+    * parameter CTE into the seed bound for dynamic C. */
+  private def lloydChain(iters: Int, parJoin: String, cExpr: String): String = {
+    val seeds =
+      s"""cents_0 AS (SELECT vec_id AS cell_id, ve AS cv
+                      FROM (SELECT vec_id, ve, row_number() OVER (ORDER BY vec_id) AS rn FROM v)$parJoin
+                      WHERE rn <= $cExpr)"""
+    val rounds = (1 to iters).map { i =>
+      val prev = s"cents_${i - 1}"
+      s"""cn_$i AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM $prev),
+          sim_$i AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
+                     FROM v n CROSS JOIN cn_$i s),
+          best_$i AS (SELECT vec_id, max(csim) AS best FROM sim_$i GROUP BY vec_id),
+          asn_$i AS (SELECT s.vec_id, min(s.cell_id) AS cell_id
+                     FROM sim_$i s JOIN best_$i b ON s.vec_id = b.vec_id AND s.csim = b.best
+                     GROUP BY s.vec_id),
+          sums_$i AS (SELECT a.cell_id, t.j AS pos,
+                             CAST(sum(CAST(round(n.ve[t.j] * 1048576) AS BIGINT)) AS BIGINT) AS fs,
+                             count(*) AS cnt
+                      FROM asn_$i a JOIN v n ON n.vec_id = a.vec_id, range(1, 65) t(j)
+                      GROUP BY a.cell_id, t.j),
+          newc_$i AS (SELECT cell_id, list(CAST(fs AS DOUBLE) / (1048576.0 * cnt) ORDER BY pos) AS cv
+                      FROM sums_$i GROUP BY cell_id),
+          cents_$i AS (SELECT p.cell_id, coalesce(nc.cv, p.cv) AS cv
+                       FROM $prev p LEFT JOIN newc_$i nc ON p.cell_id = nc.cell_id)"""
+    }
+    (seeds +: rounds).mkString(",\n")
+  }
+
+  /** WITH-fragment: the assign → probe → in-cell cosine → rank pipeline over
+    * the centroids in CTE `centsCte`; emits `ranked` (query_id,
+    * candidate_id, rank, sim). Mirrors [[Similarity.ivfTopK]]. */
+  private def ivfSearchSql(centsCte: String, parJoin: String, npExpr: String): String =
+    s"""cn_f AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM $centsCte),
+        sim_f AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
+                  FROM v n CROSS JOIN cn_f s),
+        best_f AS (SELECT vec_id, max(csim) AS best FROM sim_f GROUP BY vec_id),
+        cand AS (SELECT s.vec_id, min(s.cell_id) AS cell
+                 FROM sim_f s JOIN best_f b ON s.vec_id = b.vec_id AND s.csim = b.best
+                 GROUP BY s.vec_id),
+        probe AS (SELECT vec_id, cell_id AS cell
+                  FROM (SELECT vec_id, cell_id,
+                               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS cr
+                        FROM sim_f WHERE vec_id < 64)$parJoin
+                  WHERE cr <= $npExpr),
+        nv AS (SELECT vec_id, ve, ${sqlNorm("ve")} AS vn FROM v),
+        pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                         ${sqlDot("pn.ve", "an.ve")} / (pn.vn * an.vn) AS sim
+                  FROM probe p
+                  JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+                  JOIN nv pn ON pn.vec_id = p.vec_id
+                  JOIN nv an ON an.vec_id = a.vec_id),
+        ranked AS (SELECT query_id, candidate_id,
+                          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, candidate_id) AS rank,
+                          sim
+                   FROM pairs)"""
+
+  private val rankedFinalSelect: String =
+    """SELECT query_id, candidate_id, rank,
+              CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+       FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
+  /** Scale-shaped k-means IVF oracle: C = max(16, ⌊√N⌋), np = max(2, ⌊C/12⌋),
+    * two fixed-point Lloyd rounds, then the standard search. */
+  private val ivfKmeansOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                   FROM embeddings),
+           par AS (SELECT c, greatest(2, CAST(floor(c / 12.0) AS BIGINT)) AS np
+                   FROM (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v)),
+        ${lloydChain(2, ", par", "c")},
+        ${ivfSearchSql("cents_2", ", par", "np")}
+        $rankedFinalSelect"""
+
+  /** Residual-encoding IVFADC oracle ([[cosineTopKIvfAdcRes]]): one Lloyd
+    * round over 16 seeds, residuals v − centroid(cell), PQ codebooks from
+    * the 16 lowest-id residuals, ADC between the query's per-cell residual
+    * and the residual reconstruction, top-16 exact re-rank. */
+  private val ivfAdcResOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                   FROM embeddings),
+        ${lloydChain(1, "", "16")},
+        cn_f AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM cents_1),
+        sim_f AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
+                  FROM v n CROSS JOIN cn_f s),
+        best_f AS (SELECT vec_id, max(csim) AS best FROM sim_f GROUP BY vec_id),
+        cand AS (SELECT s.vec_id, min(s.cell_id) AS cell
+                 FROM sim_f s JOIN best_f b ON s.vec_id = b.vec_id AND s.csim = b.best
+                 GROUP BY s.vec_id),
+        rv AS (SELECT c.vec_id, c.cell,
+                      list_transform(range(1, 65), j -> n.ve[j] - cf.cv[j]) AS rv
+               FROM cand c
+               JOIN v n ON n.vec_id = c.vec_id
+               JOIN cn_f cf ON cf.cell_id = c.cell),
+        rcb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS cv
+                FROM (SELECT vec_id, rv FROM rv ORDER BY vec_id LIMIT 16)),
+        cpairs AS (SELECT r.vec_id, ms.m, cc.code,
+                          list_reduce(list_transform(range(1, 9),
+                            j -> (r.rv[ms.m*8 + j] - cc.cv[ms.m*8 + j])
+                               * (r.rv[ms.m*8 + j] - cc.cv[ms.m*8 + j])), (a,b) -> a+b) AS d
+                   FROM rv r
+                   CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+                   CROSS JOIN rcb cc),
+        bestc AS (SELECT vec_id, m, min(d) AS bd FROM cpairs GROUP BY vec_id, m),
+        cmin AS (SELECT c.vec_id, c.m, min(c.code) AS code
+                 FROM cpairs c JOIN bestc b ON b.vec_id = c.vec_id AND b.m = c.m AND c.d = b.bd
+                 GROUP BY c.vec_id, c.m),
+        codes AS (SELECT vec_id, list(code ORDER BY m) AS cl FROM cmin GROUP BY vec_id),
+        cb AS (SELECT list(cv ORDER BY code) AS cvs FROM rcb),
+        probe AS (SELECT vec_id, cell_id AS cell
+                  FROM (SELECT vec_id, cell_id,
+                               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS cr
+                        FROM sim_f WHERE vec_id < 64)
+                  WHERE cr <= 4),
+        qr AS (SELECT p.vec_id AS query_id, p.cell,
+                      list_transform(range(1, 65), j -> n.ve[j] - cf.cv[j]) AS qr
+               FROM probe p
+               JOIN v n ON n.vec_id = p.vec_id
+               JOIN cn_f cf ON cf.cell_id = p.cell),
+        adc AS (SELECT q.query_id, r.vec_id AS candidate_id,
+                       list_reduce(list_transform(range(1, 65),
+                         j -> (q.qr[j] - cb.cvs[k.cl[CAST(floor((j-1)/8) AS INT) + 1] + 1][j])
+                            * (q.qr[j] - cb.cvs[k.cl[CAST(floor((j-1)/8) AS INT) + 1] + 1][j])), (x,y) -> x+y) AS dist
+                FROM qr q
+                JOIN rv r ON r.cell = q.cell AND q.query_id <> r.vec_id
+                JOIN codes k ON k.vec_id = r.vec_id
+                CROSS JOIN cb),
+        survivors AS (SELECT query_id, candidate_id
+                      FROM (SELECT query_id, candidate_id,
+                                   row_number() OVER (PARTITION BY query_id ORDER BY dist, candidate_id) AS rn
+                            FROM adc)
+                      WHERE rn <= 16),
+        nv AS (SELECT vec_id, ve, ${sqlNorm("ve")} AS vn FROM v),
+        exact AS (SELECT s.query_id, s.candidate_id,
+                         ${sqlDot("qn.ve", "an.ve")} / (qn.vn * an.vn) AS sim
+                  FROM survivors s
+                  JOIN nv qn ON qn.vec_id = s.query_id
+                  JOIN nv an ON an.vec_id = s.candidate_id),
+        ranked AS (SELECT query_id, candidate_id,
+                          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, candidate_id) AS rank,
+                          sim
+                   FROM exact)
+        $rankedFinalSelect"""
+
   private val simhashArithOracle: String = {
     val bitTerms = (0 until 32).map { b =>
       s"(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
@@ -327,6 +519,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
     "q_cosine_topk_ivf_kmeans" -> (cosineTopKIvfKmeans _),
     "q_cosine_topk_ivfadc" -> (cosineTopKIvfAdc _),
+    "q_cosine_topk_ivfadc_res" -> (cosineTopKIvfAdcRes _),
     "q_pq_codes"        -> (pqCodes _),
     "q_embed_truncate"  -> (embedTruncate _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
@@ -508,70 +701,11 @@ object SimilarityQueries {
                 CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
-    // Scale-shaped k-means IVF mirrored stage-for-stage: C = max(16, ⌊√N⌋)
-    // seeds (lowest-id), nprobe = max(2, ⌊C/12⌋); one Lloyd iteration with
-    // FIXED-POINT means — round(x·2^20) long sums are exact and
-    // order-independent, so both engines compute identical refined
-    // centroids — then the standard assign/probe/rank pipeline.
-    "q_cosine_topk_ivf_kmeans" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-                    FROM embeddings),
-            par AS (SELECT c, greatest(2, CAST(floor(c / 12.0) AS BIGINT)) AS np
-                    FROM (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v)),
-            nv AS (SELECT vec_id, ve,
-                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
-                   FROM v),
-            seeds AS (SELECT vec_id AS cell_id, ve AS cv
-                      FROM (SELECT vec_id, ve, row_number() OVER (ORDER BY vec_id) AS rn FROM v), par
-                      WHERE rn <= c),
-            scn AS (SELECT cell_id, cv,
-                           sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS cn
-                    FROM seeds),
-            a1 AS (SELECT n.vec_id, n.ve, s.cell_id,
-                          row_number() OVER (PARTITION BY n.vec_id
-                            ORDER BY list_reduce(list_transform(range(1, len(n.ve) + 1),
-                                       i -> n.ve[i] * s.cv[i]), (a,b) -> a+b) / s.cn DESC,
-                                     s.cell_id) AS r
-                   FROM v n CROSS JOIN scn s),
-            assign1 AS (SELECT vec_id, ve, cell_id FROM a1 WHERE r = 1),
-            sums AS (SELECT cell_id, i AS pos,
-                            CAST(sum(CAST(round(ve[i] * 1048576) AS BIGINT)) AS BIGINT) AS fs,
-                            count(*) AS cnt
-                     FROM assign1, range(1, 65) t(i) GROUP BY cell_id, i),
-            newc AS (SELECT cell_id,
-                            list(CAST(fs AS DOUBLE) / (1048576.0 * cnt) ORDER BY pos) AS cv
-                     FROM sums GROUP BY cell_id),
-            cents AS (SELECT sd.cell_id, coalesce(nc.cv, sd.cv) AS cv
-                      FROM seeds sd LEFT JOIN newc nc ON sd.cell_id = nc.cell_id),
-            cn2 AS (SELECT cell_id, cv,
-                           sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS cn
-                    FROM cents),
-            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
-                            list_reduce(list_transform(range(1, len(n.ve) + 1),
-                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
-                            / c.cn AS csim
-                     FROM nv n CROSS JOIN cn2 c),
-            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
-                                    row_number() OVER (PARTITION BY vec_id
-                                                       ORDER BY csim DESC, cell_id) AS cr
-                             FROM asim),
-            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
-            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells, par
-                      WHERE cr <= np AND vec_id < 64),
-            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
-                             list_reduce(list_transform(range(1, len(p.ve) + 1),
-                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
-                             / (p.vn * a.vn) AS sim
-                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
-            ranked AS (SELECT query_id, candidate_id,
-                              row_number() OVER (PARTITION BY query_id
-                                                 ORDER BY sim DESC, candidate_id) AS rank,
-                              sim
-                       FROM pairs)
-         SELECT query_id, candidate_id, rank,
-                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
-         FROM ranked WHERE rank <= 5
-         ORDER BY query_id, rank""",
+    // Scale-shaped k-means IVF, generated (lloydChain + ivfSearchSql):
+    // two fixed-point Lloyd rounds, then assign/probe/rank — all argmax
+    // stages as streaming aggregates (VERDICT r5 #1).
+    "q_cosine_topk_ivf_kmeans" -> ivfKmeansOracle,
+    "q_cosine_topk_ivfadc_res" -> ivfAdcResOracle,
     "q_simhash_arith" -> simhashArithOracle,
     "q_minhash_arith" ->
       """WITH sh AS (
