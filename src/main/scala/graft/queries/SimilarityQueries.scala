@@ -147,6 +147,30 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs, declared
+    * ([[Similarity.cosineNearDuplicates]]): the embedding-space member of
+    * the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    * edit-distance / THIS). Cell count grows as √N — the same scale shape
+    * as [[cosineTopKIvfKmeans]] — so per-cell population, and with it the
+    * in-cell pair count (~N·√N total), stays bounded as the corpus grows;
+    * a fixed C would turn the in-cell join quadratic. nprobe=2 multi-probe
+    * recovers pairs split across neighboring cells. Approximate (blocking
+    * can miss cross-cell pairs) but fully deterministic — lowest-id seeds,
+    * tie-broken assignment, commutative-bit-identical pair sims — so the
+    * oracle mirrors it stage-for-stage; precision is exact by construction
+    * (every emitted pair's sim is the true cosine, ≥ threshold). 0.4 is
+    * the near-dup floor for this fixture (max pairwise cosine 0.48–0.60
+    * per tier). */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = emb.count()
+    val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    Similarity.cosineNearDuplicates(emb, threshold = 0.4, numCentroids = c, nprobe = 2)
+      .select(col("id_a"), col("id_b"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVFADC, declared ([[Similarity.ivfAdcTopK]]): cell pruning → ADC
     * scoring over 8-byte PQ codes → exact re-rank of the top-16. Every
     * stage is deterministic (lowest-id seeds, ties → lowest id at the
@@ -519,6 +543,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
     "q_cosine_topk_ivf_kmeans" -> (cosineTopKIvfKmeans _),
     "q_cosine_topk_ivfadc" -> (cosineTopKIvfAdc _),
+    "q_embed_neardup"   -> (embedNearDup _),
     "q_cosine_topk_ivfadc_res" -> (cosineTopKIvfAdcRes _),
     "q_pq_codes"        -> (pqCodes _),
     "q_embed_truncate"  -> (embedTruncate _),
@@ -706,6 +731,45 @@ object SimilarityQueries {
     // stages as streaming aggregates (VERDICT r5 #1).
     "q_cosine_topk_ivf_kmeans" -> ivfKmeansOracle,
     "q_cosine_topk_ivfadc_res" -> ivfAdcResOracle,
+    // Mirrors cosineNearDuplicates stage-for-stage: √N lowest-id seed
+    // centroids (dynamic via the par CTE, the ivfKmeansOracle pattern),
+    // primary-cell side A (streaming max()+min() argmax over scalar rows),
+    // nprobe=2 probe side B (row_number over scalar (id, cell, score) —
+    // never 64-dim lists), in-cell exact cosine, threshold, then the
+    // least/greatest pair-dedup. Fold orders match SeqDot, so the doubles
+    // are bit-identical and the ≥ 0.4 cut selects the same pairs.
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                     FROM embeddings),
+             par AS (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v),
+             cents AS (SELECT vec_id AS cell_id, ve AS cv
+                       FROM (SELECT vec_id, ve, row_number() OVER (ORDER BY vec_id) AS rn FROM v), par
+                       WHERE rn <= c),
+             cns AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM cents),
+             sim_f AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
+                       FROM v n CROSS JOIN cns s),
+             best_f AS (SELECT vec_id, max(csim) AS best FROM sim_f GROUP BY vec_id),
+             prim AS (SELECT s.vec_id, min(s.cell_id) AS cell
+                      FROM sim_f s JOIN best_f b ON s.vec_id = b.vec_id AND s.csim = b.best
+                      GROUP BY s.vec_id),
+             probe AS (SELECT vec_id, cell_id AS cell
+                       FROM (SELECT vec_id, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM sim_f)
+                       WHERE cr <= 2),
+             nv AS (SELECT vec_id, ve, ${sqlNorm("ve")} AS vn FROM v),
+             pairs AS (SELECT least(a.vec_id, p.vec_id) AS id_a,
+                              greatest(a.vec_id, p.vec_id) AS id_b,
+                              ${sqlDot("an.ve", "pn.ve")} / (an.vn * pn.vn) AS sim
+                       FROM prim a
+                       JOIN probe p ON p.cell = a.cell AND p.vec_id <> a.vec_id
+                       JOIN nv an ON an.vec_id = a.vec_id
+                       JOIN nv pn ON pn.vec_id = p.vec_id)
+         SELECT DISTINCT id_a, id_b,
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+         FROM pairs WHERE sim >= 0.4
+         ORDER BY id_a, id_b""",
     "q_simhash_arith" -> simhashArithOracle,
     "q_minhash_arith" ->
       """WITH sh AS (

@@ -76,6 +76,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("declared near-dup shape: exact precision, and multi-probe only adds pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val c = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
+    val pairs = Similarity.cosineNearDuplicates(emb, threshold = 0.4,
+      numCentroids = c, nprobe = 2).collect()
+    assert(pairs.nonEmpty, "threshold 0.4 must yield pairs on the fixture")
+    // precision is exact by construction: every emitted sim is the true
+    // cosine of its pair, recomputed here independently, and >= threshold
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    pairs.foreach { r =>
+      val (a, b, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b, s"pair ($a,$b) not least/greatest ordered")
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.indices.foldLeft(0.0)((acc, i) => acc + va(i) * vb(i))
+      def nrm(v: Seq[Double]) = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      val truth = dot / (nrm(va) * nrm(vb))
+      assert(truth >= 0.4 && math.abs(truth - sim) < 1e-12,
+        s"pair ($a,$b): reported $sim, true cosine $truth")
+    }
+    // recall mechanism: widening the probe count can only ADD pairs (the
+    // single-probe set is a subset) — the multi-probe exists to recover
+    // pairs whose members seed different primary cells
+    val single = Similarity.cosineNearDuplicates(emb, threshold = 0.4,
+      numCentroids = c, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi), "nprobe=2 lost pairs nprobe=1 found")
+  }
+
   test("brute-force plan broadcasts the query side") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5)

@@ -2,8 +2,13 @@
 """Local pre-check of the driver's t2 gate: run graft.Verify output against
 DuckDB oracle SQL and compare per-query (rows / schema-names / value hash).
 
-Usage: python3 tools/check_oracle.py [outDir] [sfDir]
+Usage: python3 tools/check_oracle.py [outDir] [sfDir] [maxOracleRows]
 (Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
+
+maxOracleRows (optional): on derived big tiers, outputs larger than this
+are checked rows-only instead of value-for-value — running a 60 M-row
+oracle query through DuckDB and hashing both sides proves nothing the
+standard tiers' hash checks don't, and takes minutes per query.
 
 Dev tooling only — not part of the shipped Scala library.
 """
@@ -12,6 +17,7 @@ import duckdb
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+max_oracle_rows = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,13 +47,19 @@ def table_hash(rows, cols):
         h.update(b"\n")
     return h.hexdigest()
 
-n_pass = n_fail = 0
+n_pass = n_fail = n_big = 0
 for name in sorted(oracle):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
         n_fail += 1
         continue
+    if max_oracle_rows is not None:
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+        if n > max_oracle_rows:
+            print(f"BIG  {name}: {n} rows > cap, rows-only {'OK' if n > 0 else 'EMPTY!'}")
+            n_big += 1
+            continue
     try:
         got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
         got_cols = [d[0] for d in con.description]
@@ -85,5 +97,6 @@ for name in sorted(rows_only):
     n = con.execute(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
     print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
 
-print(f"\n{n_pass} pass / {n_fail} fail / {len(rows_only)} rows-only")
+print(f"\n{n_pass} pass / {n_fail} fail / {len(rows_only)} rows-only" +
+      (f" / {n_big} over-cap (rows-only)" if max_oracle_rows is not None else ""))
 sys.exit(1 if n_fail else 0)
