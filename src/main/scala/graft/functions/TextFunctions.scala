@@ -45,6 +45,20 @@ object TextFunctions {
         i => concat_ws(" ", slice(w, i, lit(n))))))
   }
 
+  /** Like [[wordShingles]] but STRICT: a document shorter than `n` words
+    * contributes zero shingles instead of its whole text. MinHash wants the
+    * whole-text fallback (every doc needs ≥1 shingle for a signature);
+    * decontamination wants the opposite — a 3-word doc cannot contain a
+    * 5-gram of the benchmark, and treating its text as one pseudo-shingle
+    * would let unrelated short strings collide. */
+  def wordShinglesStrict(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+  }
+
   /** Jaccard similarity of two pre-deduplicated arrays, via
     * |A∩B| = |A|+|B|-|A∪B| (array_union dedups in Spark and DuckDB alike;
     * int/int division yields double in both → exact parity). */

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Components, Dedup}
+import graft.functions.TextFunctions
+import graft.util.Tables._
+
+/** Round-6 training-data-pipeline surface: near-dup CLUSTER resolution
+  * (pairs → transitive components → canonical survivor), benchmark
+  * decontamination, corpus-statistics term scoring (TF-IDF), and
+  * deterministic stratified sampling. Each query has a full DuckDB oracle.
+  */
+object PipelineQueries {
+
+  /** Near-dup cluster resolution: the pair list (word-set Jaccard ≥ 0.5
+    * inside (lang, length-bucket) blocks — the q_jaccard_pairs machinery,
+    * un-limited) closed into transitive components via alternating
+    * large-star/small-star ([[graft.operators.Components]]), every doc
+    * assigned its cluster, sized, and the canonical survivor marked
+    * (minimum doc_id — the deterministic survivor rule the exact-dedup
+    * family already uses). a~b, b~c retires c even when (a,c) was never
+    * emitted — the step pair-emitting dedup ops need before any doc can
+    * be dropped. Shuffles carry (Long, Long) ids only; never documents. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockExpr = concat_ws("|", col("lang"), floor(col("n_chars") / 25).cast("long")),
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.clusters(docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥1 distinct word
+    * 5-gram with the benchmark set (fixture: doc_id % 20 == 0 plays the
+    * benchmark). Shingling is map-side and distinct per doc; the benchmark
+    * shingle set is SMALL BY DEFINITION (eval sets are thousands of docs,
+    * not billions), so the membership probe is a broadcast semi-join — the
+    * corpus never shuffles, matching 100 TB discipline. Joining on md5
+    * keeps the broadcast 16 bytes/shingle rather than the raw string. */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShinglesStrict(col("text"), 5)).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+    val bench = sh.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-statistics term scoring: plain TF-IDF (tf · ln(N/df)), top 3
+    * terms per doc. Two partial-aggregate shuffles (doc-term counts, then
+    * document frequency) + one broadcast-able join on term; N is a driver
+    * scalar (one count — bounded). Ranking runs on the ROUND-6-decimal
+    * score so the cross-engine ordering never hinges on a libm ulp; ties
+    * break on the term string. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfq, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+          .cast(DecimalType(18, 6)).cast("double").as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Deterministic per-stratum Bernoulli sampling: keep a doc iff a seeded
+    * affine permutation of its id (mod Mersenne-31 — the arithPerms
+    * pattern) lands under the stratum's rate in basis points. Map-only —
+    * the predicate pushes into the scan pipeline, zero shuffle — and
+    * reproducible under any partitioning or layout, unlike
+    * `df.sample(fraction, seed)` whose output changes with partitioning
+    * ([[graft.operators.Sampling]] holds the xxhash64 production variants;
+    * this declared twin uses arithmetic both engines express). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bp = pmod(col("doc_id") * lit(15485863L) + lit(17L), lit(2147483647L)) % 10000
+    val rate = when(col("lang") === "en", 5000)
+      .when(col("lang") === "es", 2500)
+      .otherwise(1000)
+    documents(s, d)
+      .filter(bp < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters"    -> (dedupClusters _),
+    "q_decontam"          -> (decontam _),
+    "q_tfidf"             -> (tfidfTopTerms _),
+    "q_sample_stratified" -> (sampleStratified _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // transitive closure via recursive CTE — feasible for the oracle because
+    // component sizes are bounded at the oracle tiers (reach rows = Σ s²)
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, lang || '|' || CAST(CAST(floor(n_chars / 25) AS BIGINT) AS VARCHAR) AS block,
+                  list_distinct(string_split(text, ' ')) AS w
+           FROM documents),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE (len(a.w) + len(b.w) - len(list_distinct(list_concat(a.w, b.w))))
+                 / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         sz AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+       SELECT c.id AS doc_id, c.component, sz.n_members,
+              CAST(c.id = c.component AS INTEGER) AS is_canonical
+       FROM comp c JOIN sz USING (component)
+       ORDER BY doc_id""",
+    "q_decontam" ->
+      """WITH sh AS (
+           SELECT doc_id, md5(unnest(list_distinct(
+                    list_transform(range(1, len(w) - 5 + 2),
+                                   i -> array_to_string(w[i:i+4], ' '))))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           WHERE len(w) >= 5),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+       SELECT doc_id, count(*) AS n_overlap
+       FROM sh JOIN bench USING (sh)
+       WHERE doc_id % 20 <> 0
+       GROUP BY doc_id ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT doc_id, term,
+                  CAST(CAST(round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6)
+                            AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+           FROM tf JOIN dfx USING (term)),
+         ranked AS (SELECT doc_id, term, tfidf,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tfidf DESC, term) AS rank
+                    FROM scored)
+       SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+       ORDER BY doc_id, rank""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ((doc_id * 15485863 + 17) % 2147483647) % 10000 <
+               CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 1000 END
+         ORDER BY doc_id""",
+  )
+}

@@ -30,13 +30,20 @@ import org.apache.spark.sql.functions._
   * a sub-quadratic candidate stage must track the copies× answer, not the
   * copies²× naive pair space.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <copies> [mutate-docs]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <copies>
+  *          [mutate-docs] [only=t1,t2,...]
+  * `only=` restricts derivation to the named tables — e.g. a cipher tier
+  * that differs from the plain tier in `documents` alone need not rewrite
+  * the other 16 GB of fact tables (symlink them instead).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
-    val mutateDocs = args.length > 3 && args(3) == "mutate-docs"
+    val flags = args.drop(3)
+    val mutateDocs = flags.contains("mutate-docs")
+    val only: Option[Set[String]] = flags.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(',').toSet)
     val spark = graft.util.Sessions.build("graft-scaleup",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val stride = 100000000L // larger than any key in the driver tiers
@@ -51,7 +58,7 @@ object ScaleUp {
       "events" -> Seq("event_id", "user_id"),
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
-    keyCols.foreach { case (t, keys) =>
+    keyCols.filter { case (t, _) => only.forall(_.contains(t)) }.foreach { case (t, keys) =>
       val raw = spark.read.parquet(s"$src/$t.parquet")
       val base =
         if (t == "events") raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

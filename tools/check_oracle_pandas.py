@@ -7,7 +7,12 @@ Spark side: pandas.read_parquet on Verify's dump.
 Oracle side: duckdb .df() on the same oracle SQL.
 Compare: sort columns by name, sort rows by all columns, str()-hash cells.
 
-Usage: python3 tools/check_oracle_pandas.py [outDir] [sfDir]
+Usage: python3 tools/check_oracle_pandas.py [outDir] [sfDir] [maxOracleRows]
+
+maxOracleRows (optional): on derived big tiers, outputs larger than this
+are checked rows-only instead of value-for-value (same contract as
+check_oracle.py — hashing a 60 M-row result proves nothing the standard
+tiers don't, and takes minutes per query).
 Dev tooling only — not part of the shipped Scala library.
 """
 import sys, json, glob, hashlib
@@ -16,6 +21,7 @@ import pandas as pd
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+max_oracle_rows = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,13 +51,19 @@ def df_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-n_pass = n_fail = 0
+n_pass = n_fail = n_big = 0
 for name in sorted(oracle):
     files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output")
         n_fail += 1
         continue
+    if max_oracle_rows is not None:
+        n = sum(len(pd.read_parquet(f)) for f in files)
+        if n > max_oracle_rows:
+            print(f"BIG  {name}: {n} rows > cap, rows-only {'OK' if n > 0 else 'EMPTY!'}")
+            n_big += 1
+            continue
     try:
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
         want = canon(con.execute(oracle[name]).df())
@@ -86,5 +98,6 @@ for name in sorted(rows_only):
                        for f in glob.glob(f"{out_dir}/{name}/*.parquet")]))
     print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
 
-print(f"\n{n_pass} pass / {n_fail} fail / {len(rows_only)} rows-only")
+print(f"\n{n_pass} pass / {n_fail} fail / {len(rows_only)} rows-only" +
+      (f" / {n_big} over-cap (rows-only)" if max_oracle_rows is not None else ""))
 sys.exit(1 if n_fail else 0)
