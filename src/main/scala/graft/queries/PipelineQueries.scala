@@ -44,13 +44,15 @@ object PipelineQueries {
     * benchmark). Shingling is map-side and distinct per doc; the benchmark
     * shingle set is SMALL BY DEFINITION (eval sets are thousands of docs,
     * not billions), so the membership probe is a broadcast semi-join — the
-    * corpus never shuffles, matching 100 TB discipline. Joining on md5
-    * keeps the broadcast 16 bytes/shingle rather than the raw string. */
+    * corpus never shuffles, matching 100 TB discipline. Joining on
+    * unhex(md5(...)) keeps the broadcast 16 binary bytes/shingle rather
+    * than the raw string (or md5's 32-char hex). The oracle joins on the
+    * hex string — identical equality semantics, same output. */
   def decontam(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"),
         explode(TextFunctions.wordShinglesStrict(col("text"), 5)).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("sh"))
     val bench = sh.filter(col("doc_id") % 20 === 0).select("sh").distinct()
     sh.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(bench), "sh")
@@ -90,9 +92,14 @@ object PipelineQueries {
     * reproducible under any partitioning or layout, unlike
     * `df.sample(fraction, seed)` whose output changes with partitioning
     * ([[graft.operators.Sampling]] holds the xxhash64 production variants;
-    * this declared twin uses arithmetic both engines express). */
+    * this declared twin uses arithmetic both engines express). doc_id is
+    * reduced mod 2³¹−1 BEFORE the affine multiply: the permutation within
+    * the field is preserved, and the product stays ≤ (2³¹−2)·15485863
+    * ≈ 3.3e16 ≪ Long.MaxValue, so Spark (wrapping) and DuckDB (erroring)
+    * never diverge on huge derived-tier id ranges. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    val bp = pmod(col("doc_id") * lit(15485863L) + lit(17L), lit(2147483647L)) % 10000
+    val bp = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(15485863L) + lit(17L),
+      lit(2147483647L)) % 10000
     val rate = when(col("lang") === "en", 5000)
       .when(col("lang") === "es", 2500)
       .otherwise(1000)
@@ -163,7 +170,7 @@ object PipelineQueries {
        ORDER BY doc_id, rank""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-         WHERE ((doc_id * 15485863 + 17) % 2147483647) % 10000 <
+         WHERE (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 10000 <
                CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'es' THEN 2500 ELSE 1000 END
          ORDER BY doc_id""",
   )

@@ -75,6 +75,21 @@ class ComponentsSpec extends AnyFunSuite {
     assert(r1 == r37)
   }
 
+  test("intermediate edge-set snapshots are unpersisted: ≤1 generation survives a call") {
+    val sc = spark.sparkContext
+    def snapIds: Set[Int] =
+      sc.getPersistentRDDs.filter(_._2.name == "graft-cc-snap").keySet.toSet
+    val before = snapIds
+    // 300-node shuffled chain → many star rounds; a per-iteration leak
+    // would strand one snapshot PER ROUND, not ≤1 total
+    val rnd = new scala.util.Random(3)
+    val ids = rnd.shuffle((1L to 300L).toList)
+    val res = Components.connectedComponents(ids.zip(ids.tail).toDF("a", "b"), "a", "b")
+    assert(res.collect().length == 300)
+    val survivors = snapIds -- before
+    assert(survivors.size <= 1, s"leaked snapshot generations: $survivors")
+  }
+
   test("clusters assigns singletons to themselves and members to the component min") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 3L), (3L, 5L)).toDF("id_a", "id_b")
