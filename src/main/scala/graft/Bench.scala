@@ -7,10 +7,16 @@ object Bench {
     // optional comma-separated subset for local iteration
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SCRUB=0 disables between-query session scrubbing (A/B
+    // profiling of the accumulation tax); SPARK_GRAFT_PROFILE=1 prints a
+    // session-state JSON line to stderr after each query.
+    val scrub = !sys.env.get("SPARK_GRAFT_SCRUB").contains("0")
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
     val spark = graft.util.Sessions.build("graft-bench", cpus)
     // Warm-up: touch every table once (FS metadata, codegen, JIT) so the
     // first measured query doesn't absorb one-time session costs.
     graft.util.Tables.all(spark, sfDir).values.foreach(df => df.count(): Unit)
+    val keepRdds = graft.util.SessionHygiene.persistedIds(spark)
     val selected =
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => subset(n) }
@@ -22,6 +28,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // Between queries (never inside a timed region): drop the scratch
+      // state this query leaked so later queries aren't taxed by it —
+      // round 6 measured untouched queries 2-4× slower late in the
+      // 98-query session than standalone (VERDICT r6 finding 2).
+      if (scrub) graft.util.SessionHygiene.scrub(spark, keepRdds, gc = true)
+      if (profile)
+        System.err.println(graft.util.SessionHygiene.stateLine(spark, name) +
+          s""" after ${name}=${times(1)}""")
       name -> times(1)
     }
     // 4-decimal seconds: sub-0.1ms digits are noise and more than double the

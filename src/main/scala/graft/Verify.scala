@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // storage hygiene between queries: ~100 plans in one session would
+      // otherwise accumulate stray persisted RDDs / cache entries
+      graft.util.SessionHygiene.scrub(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

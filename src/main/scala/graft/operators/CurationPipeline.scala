@@ -29,15 +29,33 @@ object CurationPipeline {
       keepLangs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
       samplePerLang: Int = 0)          // 0 = keep all
 
-  /** Returns the curated DataFrame plus per-stage counts (for reporting). */
+  /** Returns the curated DataFrame plus per-stage counts (for reporting).
+    *
+    * Stage frames are cached only for the DURATION of this call (each
+    * stage's count + its successors read the cache instead of recomputing
+    * the prefix); every cache is released before returning. Leaving them
+    * cached would leak permanently — CacheManager holds cached plans
+    * strongly, ContextCleaner never reclaims them — and in a long session
+    * each leaked entry taxes every later query's cache lookup and storage
+    * memory. The caller's one consumption of the result recomputes the
+    * (declarative, shuffle-minimal) chain once, which is the right trade. */
   def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
     val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def stage(name: String, df: DataFrame): DataFrame = {
       val cached = df.cache()
+      cachedFrames += cached
       stages += name -> cached.count()
       cached
     }
+    try curateStaged(docs, cfg, stage, stages)
+    finally cachedFrames.foreach(_.unpersist(blocking = false))
+  }
 
+  private def curateStaged(docs: DataFrame, cfg: Config,
+      stage: (String, DataFrame) => DataFrame,
+      stages: scala.collection.mutable.ArrayBuffer[(String, Long)])
+      : (DataFrame, Seq[(String, Long)]) = {
     val input = stage("input", docs)
 
     val exact = stage("exact_dedup",
@@ -88,23 +106,28 @@ object CurationPipeline {
     *   2. int8 quantization of the survivors (map-only, 4× storage cut for
     *      the ANN candidate table; the float column stays for re-ranking).
     *
-    * Same contract as [[curate]]: curated frame + per-stage counts. */
+    * Same contract as [[curate]]: curated frame + per-stage counts, and
+    * the same cache lifecycle — stage caches released before returning. */
   def curateEmbeddings(emb: DataFrame,
                        dupThreshold: Double = 0.99,
                        numCentroids: Int = 16): (DataFrame, Seq[(String, Long)]) = {
     val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def stage(name: String, df: DataFrame): DataFrame = {
       val cached = df.cache()
+      cachedFrames += cached
       stages += name -> cached.count()
       cached
     }
-    val input = stage("input", emb)
-    val losers = Similarity
-      .cosineNearDuplicates(input, dupThreshold, numCentroids)
-      .select(col("id_b").as("vec_id")).distinct()
-    val deduped = stage("near_dedup", input.join(losers, Seq("vec_id"), "left_anti"))
-    val quantized = deduped.withColumn("q_embedding",
-      Similarity.quantizeInt8(Similarity.toDouble(col("embedding"))))
-    (quantized, stages.toSeq)
+    try {
+      val input = stage("input", emb)
+      val losers = Similarity
+        .cosineNearDuplicates(input, dupThreshold, numCentroids)
+        .select(col("id_b").as("vec_id")).distinct()
+      val deduped = stage("near_dedup", input.join(losers, Seq("vec_id"), "left_anti"))
+      val quantized = deduped.withColumn("q_embedding",
+        Similarity.quantizeInt8(Similarity.toDouble(col("embedding"))))
+      (quantized, stages.toSeq)
+    } finally cachedFrames.foreach(_.unpersist(blocking = false))
   }
 }

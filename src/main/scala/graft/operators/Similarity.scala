@@ -268,6 +268,40 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     searchAssigned(assigned, queries, collectCells(centroids), k, nprobe, idCol, vecCol)
 
+  /** IVF search over a cell-PARTITIONED index layout — the read side of
+    * [[graft.streaming.AnnIndexStream]]'s `partitionBy("cell")` format.
+    *
+    * The query batch is bounded by contract (same as [[bruteForceTopK]]'s
+    * broadcast side), so its distinct probe cells are a bounded driver
+    * list; they are pushed into the scan as a LITERAL partition filter,
+    * and the scan touches ONLY the probed cells' directories — at 100 TB
+    * an nprobe/C fraction of the index, with no job ever reading the rest
+    * (static partition pruning, asserted in AnnIndexStreamSpec). Join +
+    * scoring then match [[ivfTopKAssigned]] exactly: a candidate lives in
+    * one cell and a query's probe cells are distinct, so no pair-dedup. */
+  def ivfTopKIndexed(indexed: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = collectCells(centroids)
+    val probes = withNearestCells(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
+      cells, "qv", nprobe, "cell")
+      .withColumn("qn", l2Norm(col("qv")))
+    val probedCells = probes.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // filter FIRST (on the raw partition column, so pruning is static),
+    // then normalize the partition-inferred int to the probes' long type
+    val pruned = indexed
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    rankTopK(
+      pruned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("candidate_id"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select("query_id", "candidate_id", "sim"),
+      k)
+  }
+
   /** Product-quantization codebooks: split dim-D vectors into `m` subspaces
     * of D/m dims; each subspace's K-entry codebook is seeded from the K
     * lowest-id vectors' subvectors (deterministic, the IVF-seeding

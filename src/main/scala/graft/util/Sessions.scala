@@ -20,6 +20,16 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Tables.events converts back
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // long-lived multi-query sessions: the default 100-entry generated-
+      // class cache is smaller than one pass over this library's query
+      // surface (~400 codegen stages), so a driver serving repeated query
+      // batches Janino-recompiles every stage on every repeat. 2000
+      // entries covers the full surface; cost is class metadata only.
+      // (A/B on the 98-query bench showed the recompiles were NOT the
+      // round-6 session tax — that was storage accumulation, fixed at the
+      // source — but a repeat batch hitting warm classes is still the
+      // right steady state for a resident driver.)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .withExtensions(new graft.expr.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

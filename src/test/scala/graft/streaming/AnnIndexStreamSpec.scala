@@ -64,4 +64,45 @@ class AnnIndexStreamSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(cell"),
       s"cell filter not pushed to partition pruning:\n$scan")
   }
+
+  test("ivfTopKIndexed prunes the scan to the probed cells and matches ivfTopKAssigned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell_id"), Similarity.toDouble(col("embedding")).as("centroid"))
+    val outDir = Files.createTempDirectory("graft_ann_index_batch").toString
+    Similarity.assignCells(emb, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    val indexed = spark.read.parquet(outDir)
+    val queries = emb.filter(col("vec_id") < 8)
+
+    val result = Similarity.ivfTopKIndexed(indexed, queries, centroids, k = 5, nprobe = 2)
+
+    // result parity with the unpruned assigned-table search (the literal
+    // cell filter only removes cells no probe joins with)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val unpruned = Similarity.ivfTopKAssigned(
+      indexed.withColumn("cell", col("cell").cast("long")), queries, centroids,
+      k = 5, nprobe = 2)
+    assert(pairs(result) == pairs(unpruned), "pruned search diverged from assigned search")
+
+    // plan: the index scan carries a LITERAL partition filter on cell and
+    // selects strictly fewer than all 16 cell directories — 8 queries ×
+    // nprobe=2 probe at most 16 distinct cells but land in fewer
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in
+    // AdaptiveSparkPlanExec, which hides the scan from collect(); the
+    // partition filter is static so the pre-AQE plan carries it already
+    val idxScan = result.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("cell") => f
+    }
+    assert(idxScan.nonEmpty, "no cell-partitioned scan in the plan")
+    assert(idxScan.head.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"no partition filter on cell: ${idxScan.head.partitionFilters}")
+    val selected = idxScan.head.selectedPartitions.partitionCount
+    val total = spark.read.parquet(outDir).select("cell").distinct().count()
+    assert(selected < total,
+      s"partition pruning ineffective: read $selected of $total cell directories")
+  }
 }
