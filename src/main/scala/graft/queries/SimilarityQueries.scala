@@ -206,6 +206,29 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-side curation end-to-end, declared
+    * ([[graft.operators.CurationPipeline.curateEmbeddings]]): the SemDeDup
+    * shape (Abbas et al. 2023) — cosine near-duplicate removal keeps the
+    * LOWEST vec_id of every ≥-threshold pair, then survivors int8-quantize
+    * map-only. Same √N-cell/nprobe=2/0.4-threshold parameters as
+    * [[embedNearDup]], so its stage-for-stage pair oracle composes with
+    * the [[quantizeInt8]] oracle: losers = distinct id_b (the greater id
+    * of each pair by construction), survivors anti-joined, then the
+    * identical per-dim quantization. Output is every surviving dim's
+    * quantized value — the strongest cross-engine check of the composed
+    * pipeline, not just its row count. */
+  def embedCuration(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = emb.count()
+    val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val (curated, _) = graft.operators.CurationPipeline.curateEmbeddings(
+      emb, dupThreshold = 0.4, numCentroids = c)
+    curated
+      .select(col("vec_id"), posexplode(col("q_embedding")).as(Seq("pos", "q")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("q"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** IVFADC, declared ([[Similarity.ivfAdcTopK]]): cell pruning → ADC
     * scoring over 8-byte PQ codes → exact re-rank of the top-16. Every
     * stage is deterministic (lowest-id seeds, ties → lowest id at the
@@ -580,6 +603,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivf_kmeans" -> (cosineTopKIvfKmeans _),
     "q_cosine_topk_ivfadc" -> (cosineTopKIvfAdc _),
     "q_embed_neardup"   -> (embedNearDup _),
+    "q_embed_curation"  -> (embedCuration _),
     "q_cosine_topk_ivfadc_res" -> (cosineTopKIvfAdcRes _),
     "q_pq_codes"        -> (pqCodes _),
     "q_embed_truncate"  -> (embedTruncate _),
@@ -842,6 +866,46 @@ object SimilarityQueries {
                 CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM pairs WHERE sim >= 0.4
          ORDER BY id_a, id_b""",
+    // the embed_neardup pair oracle composed with the quantize oracle:
+    // losers = distinct greater-id of each ≥ 0.4 pair, survivors quantize
+    "q_embed_curation" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                     FROM embeddings),
+             par AS (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v),
+             cents AS (SELECT vec_id AS cell_id, ve AS cv
+                       FROM (SELECT vec_id, ve, row_number() OVER (ORDER BY vec_id) AS rn FROM v), par
+                       WHERE rn <= c),
+             cns AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM cents),
+             sim_f AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
+                       FROM v n CROSS JOIN cns s),
+             best_f AS (SELECT vec_id, max(csim) AS best FROM sim_f GROUP BY vec_id),
+             prim AS (SELECT s.vec_id, min(s.cell_id) AS cell
+                      FROM sim_f s JOIN best_f b ON s.vec_id = b.vec_id AND s.csim = b.best
+                      GROUP BY s.vec_id),
+             probe AS (SELECT vec_id, cell_id AS cell
+                       FROM (SELECT vec_id, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM sim_f)
+                       WHERE cr <= 2),
+             nv AS (SELECT vec_id, ve, ${sqlNorm("ve")} AS vn FROM v),
+             pairs AS (SELECT least(a.vec_id, p.vec_id) AS id_a,
+                              greatest(a.vec_id, p.vec_id) AS id_b,
+                              ${sqlDot("an.ve", "pn.ve")} / (an.vn * pn.vn) AS sim
+                       FROM prim a
+                       JOIN probe p ON p.cell = a.cell AND p.vec_id <> a.vec_id
+                       JOIN nv an ON an.vec_id = a.vec_id
+                       JOIN nv pn ON pn.vec_id = p.vec_id),
+             losers AS (SELECT DISTINCT id_b FROM pairs WHERE sim >= 0.4),
+             surv AS (SELECT vec_id, ve FROM v
+                      WHERE vec_id NOT IN (SELECT id_b FROM losers)),
+             m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS amax
+                   FROM surv)
+         SELECT vec_id, i AS dim,
+                CAST(CASE WHEN amax = 0 THEN 0
+                          ELSE floor(ve[i] / amax * 127 + 0.5) END AS INTEGER) AS q
+         FROM m, range(1, 65) t(i)
+         ORDER BY vec_id, dim""",
     "q_simhash_arith" -> simhashArithOracle,
     "q_minhash_arith" ->
       """WITH sh AS (
