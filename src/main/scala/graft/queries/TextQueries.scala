@@ -168,8 +168,59 @@ object TextQueries {
         md5(col("frame")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** RAG-style document chunking: fixed 200-char windows on a 150-char
+    * stride (50-char overlap), one row per (doc, window). Map-only — the
+    * chunk count is pure arithmetic on `length(text)`, so the explode
+    * never shuffles and parallelism is the scan's; at 100 TB this is the
+    * embarrassingly-parallel shape chunk-for-embedding jobs need. Every
+    * doc yields ≥ 1 chunk (an empty text still produces one empty chunk —
+    * the greatest(len,1) guard keeps Spark's sequence() from counting
+    * DOWN on a 0-length doc, which would diverge from DuckDB's empty
+    * range()). */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val stride = 150
+    val win = 200
+    val maxK = floor((greatest(length(col("text")), lit(1)).cast("double") - 1d) /
+      lit(stride.toDouble)).cast("long")
+    documents(s, d)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0L), maxK)).as("k"))
+      .select(
+        col("doc_id"),
+        (col("k") + 1).as("chunk_id"),
+        (col("k") * stride + 1).as("chunk_start"),
+        col("text").substr((col("k") * stride + 1).cast("int"), lit(win)).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Sequence packing for training batches: token counts accumulate in
+    * doc_id order within a (lang, shard) stream, and each doc lands in the
+    * 256-token bin its running prefix starts in (first-fit in arrival
+    * order — docs never split). The window shuffles only (doc_id, lang,
+    * shard, n_tokens) — the text column is projected away BEFORE the
+    * exchange, so at 100 TB the shuffle carries ~32 bytes/doc, not
+    * documents. `shard = doc_id % 8` bounds any one window partition's
+    * size and is deterministic cross-engine (at cluster scale the shard
+    * count scales with executors; packing quality is unaffected because
+    * bins are per-stream by construction). */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val budget = 256
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 8).as("shard"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        floor(((col("cum") - col("n_tokens")).cast("double")) / lit(budget.toDouble))
+          .cast("long").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frame_slices"      -> (frameSlices _),
+    "q_chunk"             -> (chunkDocs _),
+    "q_seq_pack"          -> (seqPack _),
     "q_text_stats"        -> (textStats _),
     "q_token_count"       -> (tokenCounts _),
     "q_ngram_cardinality" -> (ngramCardinality _),
@@ -186,6 +237,22 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chunk" ->
+      """WITH ks AS (SELECT doc_id, text,
+                unnest(range(0, CAST(floor((greatest(length(text),1) - 1) / 150.0) AS BIGINT) + 1)) AS k
+             FROM documents)
+         SELECT doc_id, k + 1 AS chunk_id, CAST(k*150 + 1 AS BIGINT) AS chunk_start,
+                substr(text, CAST(k*150 + 1 AS INT), 200) AS chunk
+         FROM ks ORDER BY doc_id, chunk_id""",
+    "q_seq_pack" ->
+      raw"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+              FROM documents),
+           c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+                 FROM t)
+         SELECT doc_id, lang, shard, CAST(n_tokens AS INT) AS n_tokens,
+                CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+         FROM c ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
                 len(string_split(text, ' ')) AS n_words,

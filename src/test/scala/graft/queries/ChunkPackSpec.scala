@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Invariants for the RAG chunker and sequence packer beyond the driver's
+  * DuckDB hash gate: reconstruction, bounds, and the at-scale plan claims
+  * (the packer's window exchange must not carry document text). */
+class ChunkPackSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("chunks reconstruct each document exactly (stride overlap dropped)") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val rebuilt = TextQueries.chunkDocs(spark, sf)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        // stride 150 < window 200: keep the first 150 chars of every chunk
+        // but the full tail of the last one
+        val ordered = rows.sortBy(_._2).map(_._3)
+        id -> (ordered.init.map(_.take(150)).mkString + ordered.last)
+      }
+    assert(rebuilt.keySet == docs.keySet, "chunker dropped documents")
+    rebuilt.foreach { case (id, text) =>
+      assert(text == docs(id), s"doc $id not reconstructed from its chunks")
+    }
+  }
+
+  test("every document yields at least one chunk and no chunk exceeds the window") {
+    val chunks = TextQueries.chunkDocs(spark, sf)
+    val perDoc = chunks.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") < 1).count() == 0)
+    assert(chunks.filter(length(col("chunk")) > 200).count() == 0)
+  }
+
+  test("seq_pack bins are monotone and first-fit within each (lang, shard) stream") {
+    import spark.implicits._
+    val rows = TextQueries.seqPack(spark, sf)
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"), col("seq_id"))
+      .as[(String, Long, Long, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    rows.foreach { case (stream, docs) =>
+      var cum = 0L
+      docs.sortBy(_._3).foreach { case (_, _, id, n, seq) =>
+        assert(seq == cum / 256, s"doc $id in stream $stream: seq_id $seq != ${cum / 256}")
+        cum += n
+      }
+    }
+  }
+
+  test("seq_pack window exchange carries token counts, not document text") {
+    // AdaptiveSparkPlanExec hides the inner tree from collect(), so read the
+    // rendered plan: the exchange's output is its direct child's projection
+    val lines = TextQueries.seqPack(spark, sf).queryExecution.executedPlan
+      .toString.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && exIdx + 1 < lines.size,
+      s"expected a hash exchange for the window:\n${lines.mkString("\n")}")
+    // the projection below the exchange must have dropped `text`; if the
+    // shuffle carried full documents the 100 TB claim in the scaladoc dies
+    assert(!lines(exIdx + 1).contains("text#"),
+      s"window exchange still carries the text column:\n${lines(exIdx + 1)}")
+  }
+
+  test("chunker plans no shuffle (map-only explode over the scan)") {
+    val df = TextQueries.chunkDocs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!df.contains("Exchange hashpartitioning"),
+      s"chunker should be map-side only:\n$df")
+  }
+}
