@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ ScalarQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ ExtendedRelationalQueries.all ++
-      TpchQueries.all ++ FunctionQueries.all ++ PipelineQueries.all
+      TpchQueries.all ++ FunctionQueries.all ++ PipelineQueries.all ++
+      CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ScalarQueries.oracle ++ WindowQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++ ExtendedRelationalQueries.oracle ++
-      TpchQueries.oracle ++ FunctionQueries.oracle ++ PipelineQueries.oracle
+      TpchQueries.oracle ++ FunctionQueries.oracle ++ PipelineQueries.oracle ++
+      CorpusQueries.oracle
 }

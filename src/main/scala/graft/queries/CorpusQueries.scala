@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.util.Tables._
+
+/** Round-7 corpus-preparation surface: passage-granular exact dedup (the
+  * relational form of the "remove repeated substrings" step from the
+  * dedup-training-data literature), Bloom-pre-filtered benchmark
+  * decontamination (the at-scale variant of q_decontam's broadcast
+  * semi-join), and temperature-based language-mixture sampling (the
+  * multilingual rebalancing step every pretraining mix runs). Each has a
+  * full DuckDB oracle.
+  */
+object CorpusQueries {
+
+  /** Passage-level exact dedup: each doc is cut into consecutive 10-word
+    * passages (full windows only — the literature's minimum-match
+    * granularity); a passage occurrence is a duplicate unless it is the
+    * corpus-wide FIRST occurrence in (doc_id, pos) order. Output: per doc,
+    * total passages and duplicated passages.
+    *
+    * Scale shape: passage hashing is map-side (16-byte md5 keys); the only
+    * data-sized shuffles carry (hash, doc_id, pos) — never text. First-
+    * occurrence ranking is a window over the hash (high-cardinality key,
+    * no hot partitions); the per-doc rollup is a partial-aggregated
+    * groupBy. Docs under 10 words are filtered before the explode —
+    * sequence() would otherwise count DOWN from 0 to -1 and fabricate
+    * passages. */
+  def paraDedup(s: SparkSession, d: String): DataFrame = {
+    val p = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 10)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), (size(col("ws")) / 10).cast("long") - 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ws"), (col("pos") * 10 + 1).cast("int"), lit(10))))).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    p.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum((col("rn") > 1).cast("long")).as("n_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination, Bloom-pre-filtered: q_decontam's broadcast
+    * semi-join is the right shape while the benchmark's distinct-shingle
+    * set broadcasts comfortably; when the eval suite grows past that, the
+    * 100 TB play is a BLOOM FILTER pre-pass — a driver-bounded bitset
+    * (sized from the actual benchmark cardinality, 3% fpp) shipped to
+    * every task as a literal, probed by a codegen'd expression inside the
+    * scan pipeline, so the overwhelmingly-clean corpus never reaches the
+    * join at all. False positives are then removed by the exact join,
+    * which now sees only the survivors — the output is bit-identical to
+    * q_decontam (same oracle SQL, by construction).
+    *
+    * Build uses the public `stat.bloomFilter` tree-aggregate (both sides
+    * key on xxhash64 of the 16-byte shingle md5); probe uses Catalyst's
+    * `BloomFilterMightContain` — the same expression Spark's runtime
+    * row-group filtering injects, so it stays codegen-compatible. */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShinglesStrict(col("text"), 5)).as("shingle"))
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("sh"))
+    val bench = sh.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    val expected = math.max(bench.count(), 1000L)
+    val bloom = bench.select(xxhash64(col("sh")).as("hx"))
+      .stat.bloomFilter("hx", expected, 0.03)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bytes)),
+      GraftBridge.expression(xxhash64(col("sh")))))
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .filter(mightContain)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based language-mixture sampling (α = 0.5): per-language
+    * target weights ∝ √count renormalized — the standard multilingual
+    * rebalance that upsamples tail languages relative to their raw share —
+    * realised as a per-language keep-rate against a total budget of half
+    * the corpus, selected by the deterministic affine permutation
+    * q_sample_stratified uses.
+    *
+    * Cross-engine determinism: √count is IEEE-exact on both engines; it is
+    * immediately floored into a scaled BIGINT (×1000), and EVERYTHING
+    * downstream is integer arithmetic (DIV, not /), so no double sum or
+    * decimal-division scale rule can diverge. Overflow bound: the widest
+    * product is (n/2)·isq·10⁴ ≤ 5·10⁶·n^1.5 — safe through n ≈ 10⁸ docs
+    * per mixture job. Scale shape: one partial-agg pass for counts (5-key
+    * groupBy), thresholds broadcast back, selection map-only. */
+  def langMixture(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        floor(sqrt(col("c").cast("double")) * 1000d).cast("long").as("isq"))
+    val totals = counts.agg(sum("isq").as("s_isq"), sum("c").as("n"))
+    val thresholds = counts.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        expr("least(10000L, ((n div 2) * isq * 10000L) div (s_isq * c))").as("bp"))
+    val perm = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(15485863L) + lit(17L),
+      lit(2147483647L)) % 10000
+    documents(s, d)
+      .join(broadcast(thresholds), "lang")
+      .filter(perm < col("bp"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_para_dedup"     -> (paraDedup _),
+    "q_decontam_bloom" -> (decontamBloom _),
+    "q_lang_mixture"   -> (langMixture _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_para_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         p0 AS (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS pos
+                FROM w WHERE len(ws) >= 10),
+         p AS (SELECT doc_id, pos,
+                      md5(array_to_string(ws[pos*10+1 : pos*10+10], ' ')) AS h
+               FROM p0),
+         r AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+               FROM p)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // bit-identical to q_decontam by construction (Bloom false positives
+    // are removed by the exact confirm join) — same oracle text
+    "q_decontam_bloom" -> PipelineQueries.oracle("q_decontam"),
+    "q_lang_mixture" ->
+      """WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         sc AS (SELECT lang, c, CAST(floor(sqrt(c) * 1000) AS BIGINT) AS isq
+                FROM counts),
+         tot AS (SELECT sum(isq) AS s_isq, sum(c) AS n FROM sc),
+         thr AS (SELECT lang,
+                        least(10000, ((n // 2) * isq * 10000) // (s_isq * c)) AS bp
+                 FROM sc, tot)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN thr USING (lang)
+       WHERE (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 10000 < bp
+       ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Plan + semantics invariants for the round-7 corpus-preparation family
+  * beyond the DuckDB hash gate. */
+class CorpusQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("para_dedup: first occurrence of a passage is never counted as a dup") {
+    // corpus-wide duplicate passages exist iff some doc reports n_dup > 0;
+    // whatever the corpus, total dups must be strictly fewer than total
+    // passages and every doc's n_dup bounded by its n_passages
+    val df = CorpusQueries.paraDedup(spark, sf)
+    assert(df.filter(col("n_dup") > col("n_passages")).count() == 0)
+    val totals = df.agg(sum("n_passages"), sum("n_dup")).head()
+    assert(totals.getLong(0) > totals.getLong(1))
+  }
+
+  test("para_dedup: passage shuffle carries hashes and ids, not text") {
+    val lines = CorpusQueries.paraDedup(spark, sf).queryExecution.executedPlan
+      .toString.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && exIdx + 1 < lines.size)
+    assert(!lines(exIdx + 1).contains("text#") && !lines(exIdx + 1).contains("ws#"),
+      s"passage exchange carries document text:\n${lines(exIdx + 1)}")
+  }
+
+  test("decontam_bloom: bloom pre-filter probes inside the corpus scan pipeline") {
+    val plan = CorpusQueries.decontamBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a BloomFilterMightContain probe in the plan:\n$plan")
+  }
+
+  test("decontam_bloom output is bit-identical to the exact decontam") {
+    val exact = PipelineQueries.decontam(spark, sf).collect().toSeq
+    val bloom = CorpusQueries.decontamBloom(spark, sf).collect().toSeq
+    assert(bloom == exact, "bloom pre-filter changed the decontam result")
+  }
+
+  test("lang_mixture: tail languages keep a higher rate than their raw share") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sf)
+    val total = docs.count()
+    val raw = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = CorpusQueries.langMixture(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // α=0.5 temperature flattens the mixture: the majority language's share
+    // of the SAMPLE must be strictly below its share of the corpus, and
+    // every minority language's sampling RATE must beat the majority's
+    val (majLang, majCount) = raw.maxBy(_._2)
+    val sampleTotal = kept.values.sum
+    assert(kept(majLang).toDouble / sampleTotal < majCount.toDouble / total,
+      "temperature sampling did not flatten the majority language")
+    val majRate = kept(majLang).toDouble / majCount
+    raw.filter(_._1 != majLang).foreach { case (l, c) =>
+      assert(kept.getOrElse(l, 0L).toDouble / c > majRate,
+        s"minority $l sampled at a lower rate than majority $majLang")
+    }
+  }
+
+  test("lang_mixture: selection is map-only after the broadcast threshold join") {
+    val plan = CorpusQueries.langMixture(spark, sf).queryExecution.executedPlan.toString
+    // the big side must meet the thresholds via BroadcastHashJoin — an
+    // Exchange of `documents` on lang (5 keys) would be a skew disaster
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+    // streamed side renders first: the lines between the join and its first
+    // FileScan are the probe side of `documents`, which must not exchange
+    // (the tiny 5-row counts agg on the BUILD side shuffles legitimately)
+    val lines = plan.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val scanIdx = lines.indexWhere(_.contains("FileScan"), joinIdx)
+    assert(joinIdx >= 0 && scanIdx > joinIdx)
+    assert(!lines.slice(joinIdx, scanIdx).exists(_.contains("Exchange")),
+      s"documents probe side shuffled:\n$plan")
+  }
+}
