@@ -109,10 +109,12 @@ object Components {
       rewired
     }
 
+    val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
     var sig = edgeSetSig(cur.df)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
       val next = snap(smallStar(largeStar(cur.df)))
       val nextSig = edgeSetSig(next.df)
       // The (count, xxhash64-sum) signature could collide across distinct
@@ -124,6 +126,8 @@ object Components {
       cur.release() // next is checkpointed by the aggregates above — safe
       cur = next
       it += 1
+      if (profile) println(
+        f"[cc] round=$it edges=${nextSig._1} sec=${(System.nanoTime() - t0) / 1e9}%.2f converged=$converged")
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 

@@ -119,10 +119,54 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** N-gram LM quality scoring (the perplexity-proxy filter of the CCNet /
+    * quality-classifier lineage): an add-one-smoothed word-BIGRAM model is
+    * fit on the corpus itself, and every document is scored by its total
+    * and mean negative log-likelihood under that model — fluent text lands
+    * low, boilerplate/gibberish lands high, and the score is the standard
+    * sort key for perplexity-bucketed corpus filtering.
+    *
+    * Cross-engine determinism: the only floating-point step (one ln per
+    * DISTINCT bigram — model-sized, not corpus-sized) is immediately
+    * rounded into integer MICRO-NATS; everything aggregated afterwards is
+    * BIGINT, so no accumulation-order or decimal-scale rule can diverge
+    * between engines (the q_lang_mixture discipline).
+    *
+    * Scale shape: two partial-agg shuffles build the model (bigram counts,
+    * head counts — both vocabulary-sized outputs); the vocabulary scalar is
+    * one distinct-count; scoring joins occurrences to the model on the
+    * bigram key (high-cardinality, no hot keys; AQE broadcasts the model
+    * side when it fits) and the per-doc rollup partial-aggregates. The ln
+    * runs once per model ROW before the occurrence join — never per token. */
+  def ngramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + lit(v)).cast("double"))
+          * 1e6, 0).cast("long").as("nll"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_micro"))
+      .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_para_dedup"     -> (paraDedup _),
     "q_decontam_bloom" -> (decontamBloom _),
     "q_lang_mixture"   -> (langMixture _),
+    "q_ngram_lm"       -> (ngramLm _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,5 +198,23 @@ object CorpusQueries {
        FROM documents d JOIN thr USING (lang)
        WHERE (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 10000 < bp
        ORDER BY doc_id""",
+    "q_ngram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wf),
+         bi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM p0),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         vocab AS (SELECT count(DISTINCT t) AS v
+                   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         model AS (SELECT w1, w2,
+                          CAST(round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS nll
+                   FROM c2 JOIN c1 USING (w1), vocab)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(nll) AS BIGINT) AS nll_micro,
+              CAST(sum(nll) // count(*) AS BIGINT) AS avg_micro
+       FROM bi JOIN model USING (w1, w2)
+       GROUP BY doc_id ORDER BY doc_id""",
   )
 }

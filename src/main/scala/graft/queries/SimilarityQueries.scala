@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Components, Dedup, Similarity}
 import graft.util.Tables._
 
 /** Similarity-search and near-dup query surface over `embeddings` and
@@ -227,6 +227,36 @@ object SimilarityQueries {
       .select(col("vec_id"), posexplode(col("q_embedding")).as(Seq("pos", "q")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"), col("q"))
       .orderBy("vec_id", "dim")
+  }
+
+  /** Semantic dedup with TRANSITIVE cluster resolution — the SemDeDup
+    * recipe (Abbas et al. 2023) carried one step further than
+    * [[embedCuration]]'s per-pair loser drop: the ≥-threshold cosine pairs
+    * (identical machinery and parameters to [[embedNearDup]]) are closed
+    * into connected components ([[graft.operators.Components]], alternating
+    * large-star/small-star), so a~b, b~c retires c even when the (a,c)
+    * pair was never emitted, and every semantic cluster keeps exactly ONE
+    * canonical survivor (minimum vec_id) — the guarantee batch semantic
+    * dedup needs before dropping rows. Output: every vector's cluster id,
+    * cluster size, and keep flag.
+    *
+    * Scale shape: the pair stage is [[Similarity.cosineNearDuplicates]]'s
+    * (√N cells bound in-cell populations, sims thresholded before any
+    * shuffle); the closure shuffles (Long, Long) ids only, O(log² n)
+    * rounds; the rollup is one partial-agg groupBy on component. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = emb.count()
+    val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val pairs = Similarity.cosineNearDuplicates(emb, threshold = 0.4,
+        numCentroids = c, nprobe = 2)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.clusters(emb.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "component")
+      .select(col("vec_id"), col("component"), col("n_members"),
+        (col("vec_id") === col("component")).cast("int").as("is_kept"))
+      .orderBy("vec_id")
   }
 
   /** IVFADC, declared ([[Similarity.ivfAdcTopK]]): cell pruning → ADC
@@ -604,6 +634,7 @@ object SimilarityQueries {
     "q_cosine_topk_ivfadc" -> (cosineTopKIvfAdc _),
     "q_embed_neardup"   -> (embedNearDup _),
     "q_embed_curation"  -> (embedCuration _),
+    "q_semdedup"        -> (semDedup _),
     "q_cosine_topk_ivfadc_res" -> (cosineTopKIvfAdcRes _),
     "q_pq_codes"        -> (pqCodes _),
     "q_embed_truncate"  -> (embedTruncate _),
@@ -906,6 +937,50 @@ object SimilarityQueries {
                           ELSE floor(ve[i] / amax * 127 + 0.5) END AS INTEGER) AS q
          FROM m, range(1, 65) t(i)
          ORDER BY vec_id, dim""",
+    // the embed_neardup pair oracle closed transitively (the
+    // q_dedup_clusters recursive-CTE pattern): reach is bounded by Σ s²
+    // over semantic-cluster sizes — small at every oracle tier
+    "q_semdedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                     FROM embeddings),
+             par AS (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v),
+             cents AS (SELECT vec_id AS cell_id, ve AS cv
+                       FROM (SELECT vec_id, ve, row_number() OVER (ORDER BY vec_id) AS rn FROM v), par
+                       WHERE rn <= c),
+             cns AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM cents),
+             sim_f AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
+                       FROM v n CROSS JOIN cns s),
+             best_f AS (SELECT vec_id, max(csim) AS best FROM sim_f GROUP BY vec_id),
+             prim AS (SELECT s.vec_id, min(s.cell_id) AS cell
+                      FROM sim_f s JOIN best_f b ON s.vec_id = b.vec_id AND s.csim = b.best
+                      GROUP BY s.vec_id),
+             probe AS (SELECT vec_id, cell_id AS cell
+                       FROM (SELECT vec_id, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM sim_f)
+                       WHERE cr <= 2),
+             nv AS (SELECT vec_id, ve, ${sqlNorm("ve")} AS vn FROM v),
+             pairs AS (SELECT least(a.vec_id, p.vec_id) AS id_a,
+                              greatest(a.vec_id, p.vec_id) AS id_b,
+                              ${sqlDot("an.ve", "pn.ve")} / (an.vn * pn.vn) AS sim
+                       FROM prim a
+                       JOIN probe p ON p.cell = a.cell AND p.vec_id <> a.vec_id
+                       JOIN nv an ON an.vec_id = a.vec_id
+                       JOIN nv pn ON pn.vec_id = p.vec_id),
+             e0 AS (SELECT DISTINCT id_a, id_b FROM pairs WHERE sim >= 0.4),
+             edges AS (SELECT id_a AS u, id_b AS w FROM e0
+                       UNION SELECT id_b, id_a FROM e0),
+             reach(id, r) AS (
+               SELECT vec_id, vec_id FROM embeddings
+               UNION
+               SELECT reach.id, e.w FROM reach JOIN edges e ON reach.r = e.u),
+             comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             sz AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+         SELECT c.id AS vec_id, c.component, sz.n_members,
+                CAST(c.id = c.component AS INTEGER) AS is_kept
+         FROM comp c JOIN sz USING (component)
+         ORDER BY vec_id""",
     "q_simhash_arith" -> simhashArithOracle,
     "q_minhash_arith" ->
       """WITH sh AS (

@@ -1,0 +1,73 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dev sweep for derived big tiers (dev tooling — not part of the shipped
+  * library). Executes every declared query against `sfDir`; outputs at or
+  * under `cap` rows are dumped to parquet for the DuckDB hash compare
+  * (with `oracle_sql.json` restricted to exactly those, so
+  * `check_oracle_pandas.py` hashes the bounded set and nothing else);
+  * larger outputs are recorded ROWS-ONLY in `sweep_rows.json` — hashing a
+  * 60 M-row result proves nothing the standard tiers' hash checks don't,
+  * and the single-threaded coalesce(1) dump of it dominates wall time.
+  * Each query's single-run wall seconds (count action, like Bench's) is
+  * recorded alongside — indicative timing, not a median-of-3 bench.
+  *
+  * Usage: runMain graft.tools.SweepTier <sfDir> <outDir> <cap> [names...]
+  */
+object SweepTier {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val cap = args(2).toLong
+    val subset = args.drop(3).toSet
+    val spark = graft.util.Sessions.build("graft-sweep",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    new java.io.File(outDir).mkdirs()
+    val selected =
+      if (subset.isEmpty) graft.SparkEntry.queries
+      else graft.SparkEntry.queries.filter { case (n, _) => subset(n) }
+    val report = scala.collection.mutable.ArrayBuffer[String]()
+    val written = scala.collection.mutable.ArrayBuffer[String]()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val mode = if (n <= cap) "hash" else "rows-only"
+        if (n <= cap) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          written += name
+        }
+        report += f"""{"q":"$name","rows":$n,"sec":$sec%.2f,"mode":"$mode"}"""
+        println(f"[sweep] $name rows=$n sec=$sec%.2f $mode")
+      } catch { case e: Throwable =>
+        report += s"""{"q":"$name","err":"${e.getClass.getSimpleName}"}"""
+        System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
+      }
+      graft.util.SessionHygiene.scrub(spark)
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // include dirs written by earlier chunked invocations over this outDir
+    val present = written.toSet ++
+      Option(new java.io.File(outDir).listFiles).toSeq.flatten
+        .filter(_.isDirectory).map(_.getName)
+    val oracles = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => present.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracles)
+    // append so chunked invocations over one outDir accumulate a full report
+    Files.writeString(Paths.get(s"$outDir/sweep_rows.jsonl"),
+      report.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}

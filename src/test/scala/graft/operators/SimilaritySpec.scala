@@ -458,4 +458,37 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0)).sorted
     assert(seeds.toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("semdedup: transitive closure retires a chain whose end pair was never emitted") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 60-degree fan: cos(1,2) = cos(2,3) = 0.5 >= 0.4, cos(1,3) = -0.5.
+    // 1,2,3 are their own (seed) primary cells; 2 probes cell 1, 3 probes
+    // cell 2, so pairs (1,2) and (2,3) surface but (1,3) never can —
+    // only the closure puts all three in one cluster.
+    def pad(xs: (Float, Float)): Array[Float] =
+      Array(xs._1, xs._2) ++ Array.fill(62)(0f)
+    def basis(d: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) 1f else 0f)
+    val vecs = Seq(
+      1L -> pad((1f, 0f)),
+      2L -> pad((0.5f, 0.8660254f)),
+      3L -> pad((-0.5f, 0.8660254f))) ++
+      (4L to 19L).map(id => id -> basis(id.toInt + 6))
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.cosineNearDuplicates(
+        spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4,
+        numCentroids = 16, nprobe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)), "chain-end pair should not be emitted directly")
+    val out = graft.queries.SimilarityQueries.semDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((1L, 3L, 1)))
+    assert(out(2L) == ((1L, 3L, 0)))
+    assert(out(3L) == ((1L, 3L, 0)), "transitive closure must retire vec 3")
+    (4L to 19L).foreach(id => assert(out(id) == ((id, 1L, 1)), s"vec $id not a kept singleton"))
+  }
 }

@@ -78,4 +78,35 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(!lines.slice(joinIdx, scanIdx).exists(_.contains("Exchange")),
       s"documents probe side shuffled:\n$plan")
   }
+
+  test("ngram_lm: hand-computed add-one bigram surprisal on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_fixture").toString
+    Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus bigrams: (a,b)x3, (b,a)x1; heads: a->3, b->1; vocab {a,b,c} = 3
+    // nll(a,b) = -ln(4/6) -> round(405465.108...) = 405465 micro-nats
+    // nll(b,a) = -ln(2/4) -> round(693147.180...) = 693147 micro-nats
+    val rows = CorpusQueries.ngramLm(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L), "single-word doc 3 must be excluded")
+    assert(rows(1L) == ((3L, 2 * 405465L + 693147L, (2 * 405465L + 693147L) / 3)))
+    assert(rows(2L) == ((1L, 405465L, 405465L)))
+  }
+
+  test("ngram_lm: self-trained model scores every multi-word doc, one row per doc") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("expect"))
+      .filter(col("expect") >= 1)
+    val scored = CorpusQueries.ngramLm(spark, sf).select("doc_id", "n_bigrams")
+    // every bigram occurrence joins the model built from the same corpus,
+    // so n_bigrams must equal words-1 exactly, for every multi-word doc
+    val mismatches = docs.join(scored, Seq("doc_id"), "full")
+      .filter(col("expect").isNull || col("n_bigrams").isNull ||
+        col("expect") =!= col("n_bigrams"))
+    assert(mismatches.count() == 0)
+  }
 }
