@@ -27,7 +27,10 @@ object SweepTier {
     val selected =
       if (subset.isEmpty) graft.SparkEntry.queries
       else graft.SparkEntry.queries.filter { case (n, _) => subset(n) }
-    val report = scala.collection.mutable.ArrayBuffer[String]()
+    // append per query (not at exit) so a mid-sweep JVM death loses nothing
+    def record(line: String): Unit =
+      Files.writeString(Paths.get(s"$outDir/sweep_rows.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val written = scala.collection.mutable.ArrayBuffer[String]()
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -39,10 +42,10 @@ object SweepTier {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           written += name
         }
-        report += f"""{"q":"$name","rows":$n,"sec":$sec%.2f,"mode":"$mode"}"""
+        record(f"""{"q":"$name","rows":$n,"sec":$sec%.2f,"mode":"$mode"}""")
         println(f"[sweep] $name rows=$n sec=$sec%.2f $mode")
       } catch { case e: Throwable =>
-        report += s"""{"q":"$name","err":"${e.getClass.getSimpleName}"}"""
+        record(s"""{"q":"$name","err":"${e.getClass.getSimpleName}"}""")
         System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
       }
       graft.util.SessionHygiene.scrub(spark)
@@ -64,10 +67,6 @@ object SweepTier {
       .filter { case (k, _) => present.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracles)
-    // append so chunked invocations over one outDir accumulate a full report
-    Files.writeString(Paths.get(s"$outDir/sweep_rows.jsonl"),
-      report.mkString("", "\n", "\n"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
