@@ -162,11 +162,30 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-count distribution in decimal-magnitude buckets (docs with
+    * 1-9 tokens, 10-99, 100-999, …) — the first-look length histogram every
+    * corpus intake runs (too-short and too-long tails are the first
+    * filters any pretraining mix applies). The bucket key is the DIGIT
+    * COUNT of the token count — pure integer/string arithmetic, so the
+    * cross-engine result is exact by construction (no log10 ulp can move
+    * a boundary doc). One partial-agg shuffle over ≤ ~20 bucket keys;
+    * token counting is the codegen'd regexp count, map-side. */
+  def tokenHist(s: SparkSession, d: String): DataFrame = {
+    val n = TextFunctions.tokenCount(col("text")).cast("long")
+    documents(s, d)
+      .select(length(n.cast("string")).as("bucket_digits"), n.as("n"))
+      .groupBy("bucket_digits")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy("bucket_digits")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_para_dedup"     -> (paraDedup _),
     "q_decontam_bloom" -> (decontamBloom _),
     "q_lang_mixture"   -> (langMixture _),
     "q_ngram_lm"       -> (ngramLm _),
+    "q_token_hist"     -> (tokenHist _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -216,5 +235,14 @@ object CorpusQueries {
               CAST(sum(nll) // count(*) AS BIGINT) AS avg_micro
        FROM bi JOIN model USING (w1, w2)
        GROUP BY doc_id ORDER BY doc_id""",
+    "q_token_hist" ->
+      """WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n
+                    FROM documents)
+       SELECT CAST(length(CAST(n AS VARCHAR)) AS INT) AS bucket_digits,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(min(n) AS BIGINT) AS min_tokens,
+              CAST(max(n) AS BIGINT) AS max_tokens
+       FROM t GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -96,6 +96,18 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(rows(2L) == ((1L, 405465L, 405465L)))
   }
 
+  test("token_hist: buckets partition the corpus and bounds nest") {
+    import spark.implicits._
+    val hist = CorpusQueries.tokenHist(spark, sf).collect()
+    val total = graft.util.Tables.documents(spark, sf).count()
+    assert(hist.map(_.getLong(1)).sum == total, "bucket doc counts must partition the corpus")
+    hist.foreach { r =>
+      val (digits, minT, maxT) = (r.getInt(0), r.getLong(3), r.getLong(4))
+      assert(minT.toString.length == digits && maxT.toString.length == digits,
+        s"bucket $digits holds counts outside its digit range: [$minT, $maxT]")
+    }
+  }
+
   test("ngram_lm: self-trained model scores every multi-word doc, one row per doc") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sf)
