@@ -30,17 +30,35 @@ import org.apache.spark.storage.StorageLevel
   * so executor storage holds at most two generations at any instant
   * regardless of round count. The returned DataFrame stays backed by the
   * final snapshot; its blocks are reclaimed by Spark's ContextCleaner once
-  * the caller drops the result (or immediately via [[ComponentsHandle]]).
-  * When `spark.sparkContext.getCheckpointDir` is set the snapshot uses
-  * RELIABLE checkpointing (survives executor loss — the right mode for a
-  * multi-hour 100 TB run); otherwise it local-checkpoints.
+  * the caller drops the result. When `spark.sparkContext.getCheckpointDir`
+  * is set the snapshot uses RELIABLE checkpointing (survives executor loss
+  * — the right mode for a multi-hour 100 TB run); otherwise it
+  * local-checkpoints. Reliable-checkpoint FILES are deleted eagerly by
+  * `release()` when a generation retires (Spark itself never deletes them
+  * mid-app unless GC-driven `cleanCheckpoints` fires, so a long run would
+  * otherwise accumulate O(rounds) edge-set copies on stable storage); the
+  * final generation's files are left for the GC-driven cleaner
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints`, set in
+  * [[graft.util.Sessions]]) since the caller still reads them.
   */
 object Components {
 
   /** One materialized edge-set generation: a DataFrame view plus the RDD
     * handle that owns its storage. */
   private final case class Snap(df: DataFrame, rdd: RDD[(Long, Long)]) {
-    def release(): Unit = rdd.unpersist(blocking = false)
+    def release(): Unit = {
+      rdd.unpersist(blocking = false)
+      // A retired generation's reliable-checkpoint files are dead weight:
+      // by the time release() runs, the NEXT generation has completed its
+      // own checkpoint (its first action truncated its lineage), so nothing
+      // can re-read this generation. Spark only deletes checkpoint files on
+      // GC (cleanCheckpoints) or app exit, so delete deterministically here.
+      rdd.getCheckpointFile.foreach { dir =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+      }
+    }
   }
 
   /** Materialize (u, v) edges into a persisted, lineage-truncated snapshot.
@@ -110,26 +128,35 @@ object Components {
     }
 
     val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
-    var sig = edgeSetSig(cur.df)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val t0 = System.nanoTime()
-      val next = snap(smallStar(largeStar(cur.df)))
-      val nextSig = edgeSetSig(next.df)
-      // The (count, xxhash64-sum) signature could collide across distinct
-      // edge sets; a signature match is only a CANDIDATE fixed point.
-      // Confirm it once with a set-difference probe (counts already match,
-      // so one direction suffices) — runs a single time at convergence.
-      converged = nextSig == sig && next.df.except(cur.df).isEmpty
-      sig = nextSig
-      cur.release() // next is checkpointed by the aggregates above — safe
-      cur = next
-      it += 1
-      if (profile) println(
-        f"[cc] round=$it edges=${nextSig._1} sec=${(System.nanoTime() - t0) / 1e9}%.2f converged=$converged")
-    }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Any failure (including the non-convergence require below) must not
+    // strand the in-flight generation persisted with no handle for the
+    // caller to release — unwind storage before rethrowing.
+    try {
+      var sig = edgeSetSig(cur.df)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val t0 = System.nanoTime()
+        val next = snap(smallStar(largeStar(cur.df)))
+        try {
+          val nextSig = edgeSetSig(next.df)
+          // The (count, xxhash64-sum) signature could collide across distinct
+          // edge sets; a signature match is only a CANDIDATE fixed point.
+          // Confirm it once with a set-difference probe (counts already match,
+          // so one direction suffices) — runs a single time at convergence.
+          converged = nextSig == sig && next.df.except(cur.df).isEmpty
+          sig = nextSig
+        } catch { case t: Throwable => next.release(); throw t }
+        cur.release() // next is checkpointed by the aggregates above — safe
+        cur = next
+        it += 1
+        if (profile) println(String.format(java.util.Locale.ROOT,
+          "[cc] round=%d edges=%d sec=%.2f converged=%b",
+          Int.box(it), Long.box(sig._1),
+          Double.box((System.nanoTime() - t0) / 1e9), Boolean.box(converged)))
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    } catch { case t: Throwable => cur.release(); throw t }
 
     // at the fixed point every edge is (member, componentMin); roots map to
     // themselves. Backed by the final snapshot (see class doc for lifecycle).

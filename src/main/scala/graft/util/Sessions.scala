@@ -30,6 +30,12 @@ object Sessions {
       // source — but a repeat batch hitting warm classes is still the
       // right steady state for a resident driver.)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Reliable checkpoints (Components snapshots when a checkpointDir is
+      // set) are otherwise never deleted during the app; retired generations
+      // are removed eagerly in Components.Snap.release(), and this lets the
+      // GC-driven ContextCleaner reclaim the FINAL generation's files once
+      // the caller drops the result (timing is GC-driven, not immediate).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .withExtensions(new graft.expr.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

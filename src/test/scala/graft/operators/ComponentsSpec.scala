@@ -90,6 +90,33 @@ class ComponentsSpec extends AnyFunSuite {
     assert(survivors.size <= 1, s"leaked snapshot generations: $survivors")
   }
 
+  test("reliable-checkpoint mode: retired generations' files are deleted eagerly") {
+    // With a checkpointDir set, every generation writes its edge set to
+    // stable storage and Spark itself never deletes those files mid-app —
+    // Snap.release() must. A multi-round graph would otherwise leave one
+    // rdd-* directory PER ROUND; eager deletion leaves only the final
+    // generation's (the caller still reads it).
+    val sc = spark.sparkContext
+    val saved = org.apache.spark.GraftTestBridge.checkpointDir(sc)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      sc.setCheckpointDir(dir.getAbsolutePath)
+      val rnd = new scala.util.Random(13)
+      val ids = rnd.shuffle((1L to 300L).toList)
+      val res = Components.connectedComponents(ids.zip(ids.tail).toDF("a", "b"), "a", "b")
+      assert(res.collect().length == 300)
+      // checkpoint layout: <dir>/<uuid>/rdd-<id>/...
+      def rddDirs: Seq[java.io.File] = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(u => Option(u.listFiles()).getOrElse(Array.empty).toSeq)
+        .filter(_.getName.startsWith("rdd-"))
+      val survivors = rddDirs
+      assert(survivors.size <= 1, s"leaked checkpoint generations: ${survivors.map(_.getName)}")
+    } finally {
+      org.apache.spark.GraftTestBridge.setCheckpointDir(sc, saved)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
   test("clusters assigns singletons to themselves and members to the component min") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 3L), (3L, 5L)).toDF("id_a", "id_b")
