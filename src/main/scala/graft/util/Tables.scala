@@ -14,17 +14,27 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver tiers, which
-    * Spark 4 only reads as LongType (`spark.sql.legacy.parquet.nanosAsLong
-    * =true`, set in every session builder in this repo). Convert to a
-    * microsecond TimestampType with integer division — a double division
-    * would lose precision above 2^53 ns. DuckDB oracle equivalent:
-    * `CAST(ts AS TIMESTAMP)` (ns → µs). Derived tiers (tools/ScaleUp)
-    * already store µs timestamps — those pass through untouched. */
-  private def nanosToTs(df: DataFrame, c: String): DataFrame =
+  /** Normalize `events.ts` to a session-zone TimestampType whatever the
+    * parquet physical type of the tier at hand:
+    *
+    *   - TIMESTAMP(NANOS) (early driver tiers): Spark 4 only reads it as
+    *     LongType (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
+    *     session builder in this repo) — convert with integer division (a
+    *     double division would lose precision above 2^53 ns).
+    *   - timestamp[us] without UTC adjustment (current driver tiers): Spark 4
+    *     infers TIMESTAMP_NTZ, which refuses numeric casts and diverges from
+    *     TimestampType in window-range arithmetic — reinterpret the wall
+    *     clock in the session zone (UTC everywhere in this repo, so the
+    *     instant is unchanged and `epoch_us // 1000000` in the DuckDB oracle
+    *     still matches `cast(ts as long)` here).
+    *   - TimestampType (tools/ScaleUp derived tiers): pass through. */
+  def normalizeEventTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c)
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
@@ -35,7 +45,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = nanosToTs(table(s, d, "events"), "ts")
+  def events(s: SparkSession, d: String): DataFrame    = normalizeEventTs(table(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
