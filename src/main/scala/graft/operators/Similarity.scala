@@ -519,29 +519,141 @@ object Similarity {
       k)
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
-    * the embedding-space cousin of [[Dedup.minhashNearDuplicates]].
+  /** Exact-duplicate collapse for pair generation: bit-identical vectors are
+    * interchangeable in every cosine, so a corpus full of exact clones (the
+    * dominant redundancy in crawled training data) need not pay clone²
+    * pair-stage work — group vectors on a 128-bit content key and keep the
+    * minimum id per group as its representative.
     *
-    * One side keeps only its primary cell; the other side multi-probes its
-    * `nprobe` nearest cells. Without the multi-probe, two near-identical
-    * vectors that each seed their own centroid land in different cells and
-    * the pair is lost — probing the runner-up cells recovers it. */
-  def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
-                           numCentroids: Int = 16, nprobe: Int = 2,
-                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = collectCells(
-      vectors.orderBy(col(idCol)).limit(numCentroids)
-        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+    * @param keyed (id, v) rows, `v` already widened to array<double>.
+    * @return (reps, members): reps = one (id, v) row per distinct vector
+    *         (id = the group's minimum member id); members = (id, rep_id)
+    *         for EVERY input row.
+    *
+    * Scale shape: the key (md5 of the JSON rendering — shortest-round-trip
+    * doubles, so distinct bit patterns get distinct keys) is computed
+    * map-side; the group agg is partially aggregated (shuffle volume is
+    * per-partition-distinct, i.e. collapses BEFORE the wire exactly where
+    * clone density is highest); the membership join shuffles (key, id)
+    * scalars only. Vectors cross the wire once, inside the rep rows. */
+  private[operators] def collapseExactDuplicates(keyed: DataFrame): (DataFrame, DataFrame) = {
+    val withK = keyed.withColumn("k", md5(to_json(struct(col("v")))))
+    // every v in a group is bit-identical (that's what the key means), so
+    // first(v) is deterministic in VALUE even though row order is not
+    val groups = withK.groupBy("k")
+      .agg(min(col("id")).as("rep_id"), first(col("v")).as("rv"))
+    val reps = groups.select(col("rep_id").as("id"), col("rv").as("v"))
+    val members = withK.select(col("id"), col("k"))
+      .join(groups.select(col("k"), col("rep_id")), Seq("k"))
+      .select(col("id"), col("rep_id"))
+    (reps, members)
+  }
+
+  /** Rep-level ≥-threshold cosine pairs via cell blocking, over an already
+    * collapsed rep set — the shared pair stage of [[cosineNearDuplicates]]
+    * and [[cosineNearDupEdges]]. `cells` must be seeded from the FULL
+    * vector set (not the reps) so every clone's would-be assignment equals
+    * its rep's and collapse stays output-invariant.
+    * @return (repPairs, selfSim): repPairs = (id_a < id_b, sim) across
+    *         distinct reps; selfSim = (id, sim) per rep whose self-cosine
+    *         passes the threshold (false only for the zero vector, whose
+    *         0/0 sim is NaN — NaN fails every comparison). */
+  private def repPairStage(reps: DataFrame, cells: Seq[(Long, Seq[Double], Double)],
+                           threshold: Double, nprobe: Int): (DataFrame, DataFrame) = {
     // norms hoisted per row (not per pair): cosine() inline would refold
     // both norms for every in-cell pair
-    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("vn", l2Norm(col("v")))
+    val v = reps.withColumn("vn", l2Norm(col("v")))
     val a = withNearestCells(v, cells, "v", 1, "cell")
       .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
     val b = withNearestCells(v, cells, "v", nprobe, "cell")
       .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
     // sim computed (and thresholded) BEFORE the pair-dedup, so the distinct
     // shuffles only (id, id, sim) scalars — never the vectors themselves
+    val repPairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("sim") >= threshold)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("sim"))
+      .dropDuplicates("id_a", "id_b")
+    // self-cosine spelled EXACTLY like an in-cell clone pair's sim
+    // (dot(v,v)/(vn·vn)) so expanded within-group pairs are bit-identical
+    // to what the uncollapsed pair stage would have emitted
+    val selfSim = v
+      .withColumn("sim", dot(col("v"), col("v")) / (col("vn") * col("vn")))
+      .filter(col("sim") >= threshold)
+      .select(col("id"), col("sim"))
+    (repPairs, selfSim)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via cell blocking —
+    * the embedding-space cousin of [[Dedup.minhashNearDuplicates]].
+    *
+    * One side keeps only its primary cell; the other side multi-probes its
+    * `nprobe` nearest cells. Without the multi-probe, two near-identical
+    * vectors that each seed their own centroid land in different cells and
+    * the pair is lost — probing the runner-up cells recovers it.
+    *
+    * Exact clones are collapsed to weighted representatives BEFORE the
+    * pair stage ([[collapseExactDuplicates]]) and the pair list re-expanded
+    * through the membership map after — output-invariant (spec-pinned in
+    * SimilaritySpec against [[cosineNearDuplicatesDirect]]) because cells
+    * are seeded from the full set, assignment is a deterministic pure
+    * function of the vector, and every expanded sim is computed from the
+    * identical doubles. On a clone-heavy corpus this turns the clone²
+    * in-cell join and the pair-dedup shuffle into rep² work (the 1000×
+    * fixture: 1.76 B emitted pairs, but only ~thousands of distinct
+    * vectors feed the join). */
+  def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
+                           numCentroids: Int = 16, nprobe: Int = 2,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = collectCells(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+    val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val (reps, members) = collapseExactDuplicates(keyed)
+    val (repPairs, selfSim) = repPairStage(reps, cells, threshold, nprobe)
+    // cross-group expansion: every (rep_a, rep_b) pair fans out to its
+    // groups' cross product; ids can interleave across groups, so the
+    // least/greatest normalization is re-applied per expanded pair
+    val ma = members.select(col("rep_id").as("id_a"), col("id").as("xa"))
+    val mb = members.select(col("rep_id").as("id_b"), col("id").as("xb"))
+    val cross = repPairs.join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+      .select(
+        least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"),
+        col("sim"))
+    // within-group expansion: members of one rep pair each other at the
+    // rep's self-sim; xa < xb keeps each unordered pair once (and drops
+    // singleton groups without needing a weight column)
+    val mr = (side: String) => members.select(col("rep_id").as("r"), col("id").as(side))
+    val within = selfSim.select(col("id").as("r"), col("sim"))
+      .join(mr("xa"), Seq("r")).join(mr("xb"), Seq("r"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), col("sim"))
+    cross.unionByName(within)
+  }
+
+  /** The pre-collapse formulation of [[cosineNearDuplicates]] — every
+    * vector feeds the in-cell join directly. Kept as the spec oracle for
+    * the collapse's output-invariance (SimilaritySpec compares the two on
+    * clone-planted fixtures); quadratic in clone-group size, so not the
+    * production path. */
+  private[operators] def cosineNearDuplicatesDirect(
+      vectors: DataFrame, threshold: Double,
+      numCentroids: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = collectCells(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2Norm(col("v")))
+    val a = withNearestCells(v, cells, "v", 1, "cell")
+      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
+    val b = withNearestCells(v, cells, "v", nprobe, "cell")
+      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
@@ -551,5 +663,32 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"),
         col("sim"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-duplicate graph EDGES for transitive closures ([[Components]]),
+    * WITHOUT expanding clone cliques: rep-level ≥-threshold pairs plus one
+    * (member, rep) star edge per non-rep clone. Connectivity of this graph
+    * equals the full [[cosineNearDuplicates]] pair graph's — a clone
+    * reaches everything its rep reaches through its star edge, and the
+    * star edge exists exactly when the uncollapsed stage would have
+    * connected the clones (self-cosine ≥ threshold; the only vector
+    * failing that is the zero vector, whose NaN sim connects to nothing,
+    * including its own clones — and which also emits no rep pairs, so
+    * omitting its star edges matches). A clone-clique of size g costs g−1
+    * edges instead of g²/2 pairs: the difference between closing the 1000×
+    * tier's graph on one box and ENOSPCing it. */
+  def cosineNearDupEdges(vectors: DataFrame, threshold: Double,
+                         numCentroids: Int = 16, nprobe: Int = 2,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = collectCells(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
+    val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val (reps, members) = collapseExactDuplicates(keyed)
+    val (repPairs, selfSim) = repPairStage(reps, cells, threshold, nprobe)
+    val star = members.filter(col("id") =!= col("rep_id"))
+      .join(selfSim.select(col("id").as("rep_id")), Seq("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+    repPairs.select(col("id_a"), col("id_b")).unionByName(star)
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -242,16 +243,20 @@ object SimilarityQueries {
     *
     * Scale shape: the pair stage is [[Similarity.cosineNearDuplicates]]'s
     * (√N cells bound in-cell populations, sims thresholded before any
-    * shuffle); the closure shuffles (Long, Long) ids only, O(log² n)
+    * shuffle), but the closure consumes [[Similarity.cosineNearDupEdges]] —
+    * rep-level pairs plus (clone → rep) star edges instead of expanded
+    * clone cliques, connectivity-identical by construction. A g-clone
+    * family contributes g−1 edges, not g²/2 pairs: the 1000× fixture's
+    * 1.76 B-pair clone graph becomes a few-million-edge graph that closes
+    * on one box. The closure shuffles (Long, Long) ids only, O(log² n)
     * rounds; the rollup is one partial-agg groupBy on component. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val n = emb.count()
     val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
-    val pairs = Similarity.cosineNearDuplicates(emb, threshold = 0.4,
-        numCentroids = c, nprobe = 2)
-      .select(col("id_a"), col("id_b"))
-    val comp = Components.clusters(emb.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
+    val edges = Similarity.cosineNearDupEdges(emb, threshold = 0.4,
+      numCentroids = c, nprobe = 2)
+    val comp = Components.clusters(emb.select("vec_id"), "vec_id", edges, "id_a", "id_b")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
     comp.join(sizes, "component")
       .select(col("vec_id"), col("component"), col("n_members"),
@@ -574,13 +579,35 @@ object SimilarityQueries {
     * while blocks are small, the lossless q-gram count filter
     * ([[graft.operators.PairCandidates.editDistanceCandidates]]) once a
     * block outgrows the bound, so the DP pair count never turns
-    * quadratic with corpus growth. */
+    * quadratic with corpus growth.
+    *
+    * Exact-duplicate (block, prefix) rows collapse to their minimum-id
+    * representative BEFORE candidate generation: identical strings share
+    * every q-gram, so a g-clone boilerplate family would inflate the
+    * (block, gram) equi-join output by g² — the 1000×-tier ENOSPC. Rep
+    * pairs (lev from the identical strings) then re-expand through the
+    * membership map, but only each group's 51 smallest ids: with the final
+    * (lev, id_a, id_b) top-50, any expanded pair using a group's 52nd+ id
+    * is preceded by ≥51 same-lev pairs built from smaller ids of the same
+    * groups, so it can never reach the output — the truncation is exact,
+    * not approximate (spec-pinned in PairCandidatesSpec). Within-group
+    * clone pairs are lev=0 by identity; cross-rep pairs within a block are
+    * lev ≥ 1 since their strings differ. */
   def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
     import graft.operators.PairCandidates
-    val docs = documents(s, d).select(
+    val docs0 = documents(s, d).select(
       col("doc_id").as("id"),
       substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
+    val groups = docs0.groupBy("block", "s").agg(min(col("id")).as("rep_id"))
+    val docs = groups.select(col("rep_id").as("id"), col("s"), col("block"))
+    // per-group 51 smallest member ids — all an exact top-50 can ever use
+    val m51 = docs0.join(groups, Seq("block", "s"))
+      .select(col("id"), col("rep_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("rep_id")).orderBy(col("id"))))
+      .filter(col("rn") <= 51)
+      .select(col("id"), col("rep_id"))
     // blocked path: one self-join carrying the prefixes; q-gram path:
     // ids-only candidates, prefixes joined back for the DP
     val paired =
@@ -599,10 +626,22 @@ object SimilarityQueries {
           .join(docs.select(col("id").as("id_a"), col("s").as("p_a")), Seq("id_a"))
           .join(docs.select(col("id").as("id_b"), col("s").as("p_b")), Seq("id_b"))
       }
-    paired
+    val repLev = paired
       .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
       .filter(col("lev") <= 10)
       .select("id_a", "id_b", "lev")
+    // cross-group expansion (ids interleave across groups → re-normalize);
+    // within-group pairs are exact clones: lev = 0 by identity
+    val cross = repLev
+      .join(m51.select(col("rep_id").as("id_a"), col("id").as("xa")), Seq("id_a"))
+      .join(m51.select(col("rep_id").as("id_b"), col("id").as("xb")), Seq("id_b"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("lev"))
+    val within = m51.select(col("rep_id").as("r"), col("id").as("xa"))
+      .join(m51.select(col("rep_id").as("r"), col("id").as("xb")), Seq("r"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), lit(0).as("lev"))
+    cross.unionByName(within)
       .orderBy(col("lev"), col("id_a"), col("id_b"))
       .limit(50)
   }

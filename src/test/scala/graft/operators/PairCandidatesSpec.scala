@@ -160,6 +160,68 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(PairCandidates.memoizedStat("spec-key-again")(42L) == 42L)
   }
 
+  test("levenshtein query: exact-prefix collapse + 51-id truncation is output-invariant") {
+    // documents fixture: a 60-clone prefix family (exercises the 51-id
+    // expansion bound — ids 52..60 of the family can never reach a top-50
+    // and must be provably absent), a 5-clone family, planted few-edit
+    // variants, and unrelated strings. Reference = brute-force all-pairs.
+    val prefixes = (0 until 30).map(_ => randomString(40))
+    val bigClone = randomString(40)
+    val smallClone = randomString(40)
+    val variant = bigClone.updated(3, '#').updated(17, '#')
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    (0 until 30).foreach(i => docs += ((i.toLong, prefixes(i))))
+    (100 until 160).foreach(i => docs += ((i.toLong, bigClone)))   // 60 clones
+    (200 until 205).foreach(i => docs += ((i.toLong, smallClone))) // 5 clones
+    docs += ((300L, variant))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lev_inv").toString
+    val df = docs.toSeq.toDF("doc_id", "p")
+      .select(col("doc_id"),
+        concat(col("p"), lit(" tail text beyond the prefix")).as("text"),
+        lit("en").as("lang"), lit(68).as("n_chars"))
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.SimilarityQueries.levenshteinPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // brute force: every same-block pair (single block here), lev <= 10
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val byId = docs.toSeq.toMap
+    val idsAll = docs.map(_._1).sorted
+    val want = (for {
+      i <- idsAll; j <- idsAll if i < j
+      l = lev(byId(i).take(40), byId(j).take(40)) if l <= 10
+    } yield (i, j, l)).sortBy(t => (t._3, t._1, t._2)).take(50)
+    assert(got == want,
+      s"collapse changed the top-50: got=${got.take(5)}… want=${want.take(5)}…")
+    // the 60-clone family alone holds >50 lev-0 pairs, so the whole output
+    // is lev 0 from ids 100..151 — the truncation bound in action
+    assert(got.forall(_._3 == 0) && got.size == 50)
+
+    // second fixture: few enough clones that CROSS-group pairs (clone
+    // family × its few-edit variant) must survive expansion + re-normalize
+    val docs2 = docs.filterNot { case (id, _) => id >= 101 && id < 160 }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lev_inv2").toString
+    docs2.toSeq.toDF("doc_id", "p")
+      .select(col("doc_id"),
+        concat(col("p"), lit(" tail text beyond the prefix")).as("text"),
+        lit("en").as("lang"), lit(68).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = graft.queries.SimilarityQueries.levenshteinPairs(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val ids2 = docs2.map(_._1).sorted
+    val want2 = (for {
+      i <- ids2; j <- ids2 if i < j
+      l = lev(byId(i), byId(j)) if l <= 10
+    } yield (i, j, l)).sortBy(t => (t._3, t._1, t._2)).take(50)
+    assert(got2 == want2)
+    assert(got2.exists(_._3 > 0), "fixture 2 must surface a cross-group pair")
+  }
+
   test("edit-distance candidate count grows ~linearly when the block doubles") {
     val c1 = PairCandidates.editDistanceCandidates(editCorpus(60, withShort = false), maxDist = 10).count()
     val c2 = PairCandidates.editDistanceCandidates(editCorpus(120, withShort = false), maxDist = 10).count()

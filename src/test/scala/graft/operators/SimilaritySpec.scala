@@ -459,6 +459,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(seeds.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("exact-clone collapse is output-invariant vs the direct pair stage") {
+    import spark.implicits._
+    // clone families with interleaved ids (expansion must re-normalize
+    // least/greatest), a zero-vector family (self-sim NaN: no pairs, not
+    // even clone-to-clone), near-dup singletons, and unrelated basis vecs
+    val a = Array(1f, 0.2f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val b = Array(0.9f, 0.5f, 0.1f, 0f, 0f, 0f, 0f, 0f) // cos(a,b) ~0.95
+    val c = Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)       // cos(a,c)=0
+    val nearC = Array(0.1f, 0f, 0.99f, 0f, 0f, 0f, 0f, 0f) // cos(c,nearC) ~0.99
+    val z = Array.fill(8)(0f)
+    def basis(d: Int) = Array.tabulate(8)(i => if (i == d) 1f else 0f)
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      1L -> a, 2L -> b, 4L -> a, 5L -> c, 6L -> b, 8L -> nearC,
+      9L -> b, 13L -> z, 17L -> z, 20L -> basis(4), 21L -> basis(5),
+      22L -> basis(6), 23L -> basis(7))
+    val df = rows.toDF("vec_id", "embedding")
+    def collect(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = collect(Similarity.cosineNearDuplicatesDirect(
+      df, threshold = 0.4, numCentroids = 4, nprobe = 2))
+    val collapsed = collect(Similarity.cosineNearDuplicates(
+      df, threshold = 0.4, numCentroids = 4, nprobe = 2))
+    assert(direct.nonEmpty, "fixture must yield pairs")
+    // clone-clique pairs must be present (family {1,4} and {2,6,9})
+    assert(direct.exists { case (x, y, _) => (x, y) == (1L, 4L) })
+    assert(direct.exists { case (x, y, _) => (x, y) == (2L, 6L) })
+    assert(collapsed == direct,
+      s"collapse changed the output: only-direct=${direct -- collapsed} " +
+        s"only-collapsed=${collapsed -- direct}")
+    // zero-vector clones pair with nothing, including each other
+    assert(direct.forall { case (x, y, _) => !Set(13L, 17L)(x) && !Set(13L, 17L)(y) })
+
+    // the edge formulation must close into the SAME components as the
+    // expanded pair list — that is its whole contract
+    val ids = df.select("vec_id")
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Components.clusters(ids, "vec_id", edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = comps(Similarity.cosineNearDuplicatesDirect(
+      df, 0.4, 4, 2).select("id_a", "id_b"))
+    val viaEdges = comps(Similarity.cosineNearDupEdges(df, 0.4, 4, 2))
+    assert(viaEdges == viaPairs,
+      s"edge graph closes differently: pairs=$viaPairs edges=$viaEdges")
+  }
+
   test("semdedup: transitive closure retires a chain whose end pair was never emitted") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
