@@ -198,17 +198,23 @@ object TextQueries {
     * order — docs never split). The window shuffles only (doc_id, lang,
     * shard, n_tokens) — the text column is projected away BEFORE the
     * exchange, so at 100 TB the shuffle carries ~32 bytes/doc, not
-    * documents. `shard = doc_id % 8` bounds any one window partition's
-    * size and is deterministic cross-engine (at cluster scale the shard
-    * count scales with executors; packing quality is unaffected because
-    * bins are per-stream by construction). */
-  def seqPack(s: SparkSession, d: String): DataFrame = {
+    * documents.
+    *
+    * `numShards` is the parallelism knob: window parallelism is
+    * langs × numShards, and each shard's cumulative-sum sort grows with
+    * corpus/numShards — size it to the cluster (a 1000-executor run wants
+    * thousands of shards). Packing SEMANTICS are per-(lang, shard) stream
+    * by construction, so the knob moves work, never results within a
+    * stream (spec-pinned in ChunkPackSpec: bin composition per stream is
+    * shard-count-invariant). The declared oracle query pins the fixture
+    * value 8. */
+  def seqPackSharded(s: SparkSession, d: String, numShards: Int): DataFrame = {
     val budget = 256
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "shard").orderBy("doc_id")
     documents(s, d)
       .select(col("doc_id"), col("lang"),
-        (col("doc_id") % 8).as("shard"),
+        (col("doc_id") % numShards).as("shard"),
         tokenCount(col("text")).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
@@ -216,6 +222,10 @@ object TextQueries {
           .cast("long").as("seq_id"))
       .orderBy("doc_id")
   }
+
+  /** The declared fixture form of [[seqPackSharded]]: numShards = 8,
+    * matching the oracle SQL's `doc_id % 8`. */
+  def seqPack(s: SparkSession, d: String): DataFrame = seqPackSharded(s, d, 8)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frame_slices"      -> (frameSlices _),
