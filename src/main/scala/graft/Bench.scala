@@ -57,5 +57,30 @@ object Bench {
     println(json)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"target/bench.json"}""")
     spark.stop()
+    // Regression gate (VERDICT r7 #7): with SPARK_GRAFT_BENCH_REF set to a
+    // prior round's artifact, any common query slower than 1.5× its prior
+    // time (plus a 0.2 s floor so sub-100 ms queries don't trip on noise)
+    // fails the capture with a nonzero exit — a polluted or regressed run
+    // can no longer be committed silently. The artifact is still written:
+    // the gate blocks SHIPPING it, not inspecting it.
+    sys.env.get("SPARK_GRAFT_BENCH_REF").foreach { ref =>
+      val prior = {
+        val m = scala.collection.mutable.Map[String, Double]()
+        val pat = java.util.regex.Pattern.compile("\"(q_[A-Za-z0-9_]+)\":([0-9.]+)")
+        val mt = pat.matcher(Files.readString(Paths.get(ref)))
+        while (mt.find()) m(mt.group(1)) = mt.group(2).toDouble
+        m
+      }
+      val regressed = results.toSeq.flatMap { case (name, sec) =>
+        prior.get(name).filter(p => sec > p * 1.5 + 0.2).map(p => (name, p, sec))
+      }
+      regressed.foreach { case (name, p, sec) =>
+        System.err.println(s"[bench-gate] $name regressed: ${fmt(p)} -> ${fmt(sec)} s")
+      }
+      if (regressed.nonEmpty) {
+        System.err.println(s"[bench-gate] FAIL: ${regressed.size} quer${if (regressed.size == 1) "y" else "ies"} >1.5x vs $ref")
+        sys.exit(3)
+      }
+    }
   }
 }

@@ -42,8 +42,11 @@ object SweepTier {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           written += name
         }
-        record(f"""{"q":"$name","rows":$n,"sec":$sec%.2f,"mode":"$mode"}""")
-        println(f"[sweep] $name rows=$n sec=$sec%.2f $mode")
+        // Locale.ROOT, not the f-interpolator: on a comma-decimal locale
+        // f"$sec%.2f" would emit `"sec":1,23` — invalid JSON
+        val secStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+        record(s"""{"q":"$name","rows":$n,"sec":$secStr,"mode":"$mode"}""")
+        println(s"[sweep] $name rows=$n sec=$secStr $mode")
       } catch { case e: Throwable =>
         record(s"""{"q":"$name","err":"${e.getClass.getSimpleName}"}""")
         System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
