@@ -138,6 +138,105 @@ object PairCandidates {
       .distinct()
   }
 
+  /** PassJoin-style pigeonhole segment filter (Li, Deng, Feng: "PASS-JOIN:
+    * a partition-based method for similarity joins", VLDB 2012) — the
+    * dense-block replacement for [[editDistanceCandidates]]'s count filter.
+    *
+    * Pigeonhole: partition a string s into `maxDist + 1` contiguous
+    * segments; τ = maxDist edits can touch at most τ of them, so any r
+    * with ed(r, s) ≤ τ contains at least one segment of s VERBATIM, and
+    * the matching occurrence starts within ±τ of the segment's position
+    * (each unit of alignment shift costs one edit). The filter is an
+    * EXACT-substring-at-bounded-position equi-join — on random-ish text a
+    * 3-4 char verbatim match at ~21 allowed positions is orders of
+    * magnitude more selective than the count filter's share-one-gram join,
+    * whose intermediate output grows quadratically with block population
+    * (the measured 1000×-tier ENOSPC: ~119 k strings per block share
+    * chance trigrams at rate ~1, but chance segment matches at rate
+    * ~5·10⁻⁴).
+    *
+    * Roles: every string INDEXES its own-length segment scheme and PROBES
+    * the schemes of partner lengths l1 ∈ [len − τ, len] that EXIST in its
+    * block (the distinct (block, len) inventory is broadcast — bounded by
+    * blocks × maxLen, the IVF-centroid pattern); a pair's shorter side is
+    * always the indexed one, so each qualifying pair is guaranteed in at
+    * least one role orientation. Segment scheme for length l: k = τ + 1
+    * segments, the first k − (l mod k) of length ⌊l/k⌋, the rest one
+    * longer — deterministic, shared by both roles. Zero-length segments
+    * (l < k) match any probe of compatible length through their empty
+    * substring — the short-string degeneration to all-pairs, same bound
+    * as [[editDistanceCandidates]]'s short path.
+    *
+    * Output: (id_a, id_b, s_a, s_b) candidate rows, id_a the indexed side,
+    * UN-deduplicated (multiplicity ≤ 2k when several segments match or
+    * both orientations fire) and with both strings carried — callers
+    * stream the rows straight into the DP verify and deduplicate the
+    * (tiny) surviving match set, so no corpus-squared shuffle ever
+    * materializes: the only exchanges carry the k index rows and the
+    * O(k·(2τ+1)) probe rows per string, and the join is hash (not
+    * sort-merge), so nothing pair-sized is sorted or spilled.
+    * Guaranteed to contain every same-block pair with ed ≤ maxDist
+    * (lossless; spec-pinned against brute force in PairCandidatesSpec). */
+  def passJoinCandidates(strings: DataFrame, maxDist: Int): DataFrame = {
+    val tau = maxDist
+    val k = tau + 1
+    val withLen = strings.select(col("id"), col("block"), col("s"),
+      length(col("s")).as("len"))
+    // scheme arithmetic for a length-l scheme at 0-based segment i
+    def base(l: Column) = (l - pmod(l, lit(k))) / k
+    def segLen(l: Column, i: Column) =
+      (base(l) + when(i >= lit(k) - pmod(l, lit(k)), 1).otherwise(0)).cast("int")
+    def segStart(l: Column, i: Column) =
+      (base(l) * i + greatest(lit(0), i - (lit(k) - pmod(l, lit(k))))).cast("int")
+
+    // index role: each string's own-length segments
+    val idx = withLen
+      .select(col("id").as("id_a"), col("block"), col("s").as("s_a"),
+        col("len").as("l1"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("sub", col("s_a").substr(
+        segStart(col("l1"), col("i")) + 1, segLen(col("l1"), col("i"))))
+      .select(col("block"), col("l1"), col("i"), col("sub"),
+        col("id_a"), col("s_a"))
+
+    // probe role: for each EXISTING shorter-or-equal partner length, every
+    // substring of the scheme's segment length within ±τ of its position
+    val inv = withLen.select(col("block"), col("len").as("l1")).distinct()
+    val pr = withLen
+      .join(broadcast(inv.withColumnRenamed("block", "inv_block")),
+        col("block") === col("inv_block") &&
+          col("l1").between(col("len") - tau, col("len")))
+      .select(col("id").as("id_b"), col("block"), col("s").as("s_b"),
+        col("len").as("len_b"), col("l1"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("sl", segLen(col("l1"), col("i")))
+      .withColumn("st", segStart(col("l1"), col("i")))
+      // length-aware shift bound (lossless): a match at shift m = p − st
+      // implies ≥ |m| edits before the segment (net prefix length change)
+      // and ≥ |Δ − m| after it (net suffix change, Δ = len_b − l1), so
+      // |m| + |Δ − m| ≤ τ. At Δ = 0 that is |m| ≤ τ/2 — half the naive
+      // ±τ window, and with it half the probe shuffle volume
+      .withColumn("p", explode(
+        when(col("sl") === 0, array(lit(0)))
+          .otherwise({
+            val delta = col("len_b") - col("l1")
+            val lo = greatest(col("st") - floor((lit(tau) - delta) / 2).cast("int"),
+              lit(0))
+            val hi = least(col("st") + delta + floor((lit(tau) - delta) / 2).cast("int"),
+              col("len_b") - col("sl"))
+            when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>"))
+          })))
+      .withColumn("sub", col("s_b").substr(col("p") + 1, col("sl")))
+      .select(col("block"), col("l1"), col("i"), col("sub"),
+        col("id_b"), col("s_b"))
+
+    // hash join, not sort-merge: the pair-shaped output must stream into
+    // the caller's verify without either side being sorted pair-wise
+    idx.hint("shuffle_hash")
+      .join(pr, Seq("block", "l1", "i", "sub"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b")
+  }
+
   /** Candidate (id_a, id_b) pairs for edit distance ≤ `maxDist` within
     * blocks, via the bag-of-q-grams count bound.
     *

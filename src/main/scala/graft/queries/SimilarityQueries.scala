@@ -608,28 +608,32 @@ object SimilarityQueries {
         Window.partitionBy(col("rep_id")).orderBy(col("id"))))
       .filter(col("rn") <= 51)
       .select(col("id"), col("rep_id"))
-    // blocked path: one self-join carrying the prefixes; q-gram path:
-    // ids-only candidates, prefixes joined back for the DP
-    val paired =
+    // blocked path: one self-join carrying the prefixes. Big-block path:
+    // the PassJoin pigeonhole segment filter — the q-gram count filter's
+    // share-one-gram intermediate grows quadratically with block
+    // population (~119 k strings/block at the 1000× cipher tier chance-
+    // collide on trigrams at rate ~1 and ENOSPC'd a 79 GB box; verbatim
+    // 3-4 char segments at ±τ positions collide at ~5·10⁻⁴), and its
+    // candidates stream straight into the DP with both prefixes carried —
+    // no ids-only pair shuffle, no join-back. Both paths are lossless.
+    val repLev =
       if (PairCandidates.maxBlockSize(docs) <= 1024) {
         val a = docs.select(col("block"), col("id").as("id_a"), col("s").as("p_a"))
         val b = docs.select(col("block"), col("id").as("id_b"), col("s").as("p_b"))
         a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+          .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
+          .filter(col("lev") <= 10)
+          .select("id_a", "id_b", "lev")
       } else {
-        // q=3, not 2: over a ~[a-z0-9] alphabet the bigram vocabulary is so
-        // small (~1.3k) that big blocks collide at chance level and the
-        // candidate equi-join output grows ~quadratically; trigrams cut the
-        // collision odds ~36x. Both are lossless — measured on the 100x
-        // tier: 221s/486k candidates (q=2) vs 60s/2.6M (q=3), and the DP
-        // absorbs the larger candidate set for far less than the join saves.
-        PairCandidates.editDistanceCandidates(docs, maxDist = 10, q = 3)
-          .join(docs.select(col("id").as("id_a"), col("s").as("p_a")), Seq("id_a"))
-          .join(docs.select(col("id").as("id_b"), col("s").as("p_b")), Seq("id_b"))
+        // candidates are un-deduped (≤ 2k multiplicity) and unordered —
+        // verify first (the DP output is tiny), then normalize + dedup
+        PairCandidates.passJoinCandidates(docs, maxDist = 10)
+          .withColumn("lev", levenshtein(col("s_a"), col("s_b")))
+          .filter(col("lev") <= 10)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
+          .dropDuplicates("id_a", "id_b")
       }
-    val repLev = paired
-      .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
-      .filter(col("lev") <= 10)
-      .select("id_a", "id_b", "lev")
     // cross-group expansion (ids interleave across groups → re-normalize);
     // within-group pairs are exact clones: lev = 0 by identity
     val cross = repLev

@@ -160,6 +160,47 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(PairCandidates.memoizedStat("spec-key-again")(42L) == 42L)
   }
 
+  test("passjoin candidates contain every true pair, incl. short and mixed-length strings") {
+    // mixed lengths exercise the inventory-pruned probe (l1 < len) and the
+    // zero-length-segment degeneration (len < tau+1); the planted DELETION
+    // variants (Δ = 4, 9) pin the length-aware shift bound at Δ > 0
+    val base60 = editCorpus(60, withShort = true)
+    val delVariants = base60.filter(col("id").isin(0L, 11L, 22L))
+      .select((col("id") + 1000L).as("id"), col("block"),
+        when(col("id") === 22L, expr("substr(s, 10)"))    // 9 leading dels
+          .otherwise(expr("substr(s, 1, length(s) - 4)")) // 4 trailing dels
+          .as("s"))
+    val corpus = base60.unionByName(delVariants)
+    val truePairs = pairSet(
+      allPairs(corpus)
+        .join(corpus.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+        .join(corpus.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+        .filter(levenshtein(col("s_a"), col("s_b")) <= 10))
+    assert(truePairs.nonEmpty, "fixture should plant at least one true pair")
+    val candidates = PairCandidates.passJoinCandidates(corpus, maxDist = 10)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- candidates
+    assert(missed.isEmpty, s"passjoin filter lost true pairs: $missed")
+  }
+
+  test("passjoin carries the verbatim strings and is far below block-squared") {
+    val corpus = editCorpus(200, withShort = false)
+    val cand = PairCandidates.passJoinCandidates(corpus, maxDist = 10)
+    // strings ride along so the DP needs no join-back
+    val byId = corpus.select(col("id"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cand.collect().foreach { r =>
+      assert(r.getString(2) == byId(r.getLong(0)) && r.getString(3) == byId(r.getLong(1)))
+    }
+    // distinct candidate pairs must stay well under the naive pair space
+    val n = cand.select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")))
+      .distinct().count()
+    val quad = 200L * 199 / 2
+    assert(n < quad / 10, s"segment filter not selective: $n of $quad pairs")
+  }
+
   test("levenshtein query: exact-prefix collapse + 51-id truncation is output-invariant") {
     // documents fixture: a 60-clone prefix family (exercises the 51-id
     // expansion bound — ids 52..60 of the family can never reach a top-50
