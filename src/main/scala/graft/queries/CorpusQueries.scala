@@ -130,14 +130,33 @@ object CorpusQueries {
     * DISTINCT bigram — model-sized, not corpus-sized) is immediately
     * rounded into integer MICRO-NATS; everything aggregated afterwards is
     * BIGINT, so no accumulation-order or decimal-scale rule can diverge
-    * between engines (the q_lang_mixture discipline).
+    * between engines (the q_lang_mixture discipline). Residual boundary
+    * risk (documented, not closed): Math.log and DuckDB's ln can differ in
+    * the last ulp, and Spark's Round on doubles goes through BigDecimal
+    * (shortest-decimal) while DuckDB rounds the binary double — a bigram
+    * whose −ln(p)·10⁶ lands within ~1e-9 of a half-integer could round
+    * apart. No alternative quantization removes the ln-ulp half of that
+    * risk, the affected measure is ~1e-10 per distinct bigram, and every
+    * oracle-checkable tier (through sf0.1's ~10⁵ distinct bigrams) is
+    * hash-green; at oracle-free scale a flip would shift one doc's
+    * nll_micro by 1, which no downstream perplexity bucketing can see.
     *
     * Scale shape: two partial-agg shuffles build the model (bigram counts,
     * head counts — both vocabulary-sized outputs); the vocabulary scalar is
     * one distinct-count; scoring joins occurrences to the model on the
     * bigram key (high-cardinality, no hot keys; AQE broadcasts the model
     * side when it fits) and the per-doc rollup partial-aggregates. The ln
-    * runs once per model ROW before the occurrence join — never per token. */
+    * runs once per model ROW before the occurrence join — never per token.
+    *
+    * The (doc_id, w1, w2) projection is materialized ONCE via eager
+    * localCheckpoint and shared by its three consumers (c2, c1, scoring):
+    * measured at the 100× tier, recomputing the explode per consumer costs
+    * 29.7 s vs 12.7 s materialized (tools/ProbeNgramLm; SCALING.md) — at
+    * 100 TB that is three corpus scans vs one. localCheckpoint, not
+    * persist(): the RDD-backed blocks are reclaimed by the ContextCleaner
+    * as soon as the caller drops the returned frame, whereas a
+    * CacheManager entry would pin executor storage until an explicit
+    * unpersist no library caller is contracted to issue. */
   def ngramLm(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
@@ -149,6 +168,7 @@ object CorpusQueries {
       .select(col("doc_id"),
         element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
+      .localCheckpoint()
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val model = c2.join(c1, "w1")

@@ -56,6 +56,14 @@ object ProbeNgramLm {
           .count()
       } finally bi.unpersist(blocking = false)
     }
+    graft.util.SessionHygiene.scrub(spark)
+
+    // the lifecycle-safe spelling of the persist win: RDD-backed blocks are
+    // ContextCleaner-reclaimed once the caller drops the result, unlike a
+    // CacheManager entry which pins until an explicit unpersist
+    timed("localCheckpoint-bi") {
+      graft.queries.CorpusQueries.ngramLm(spark, d).count()
+    }
     spark.stop()
   }
 }

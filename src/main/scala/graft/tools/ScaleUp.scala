@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * they are constant at any scale factor, and the unshifted nationkey
   * references stay valid.
   *
-  * `events.ts` is rewritten as a microsecond timestamp (the driver tiers
-  * carry TIMESTAMP(NANOS), which Spark can only surface as long);
-  * replicated events share timestamps, which is safe because every
-  * order-sensitive query tie-breaks on the (shifted, unique) event_id.
+  * `events.ts` is normalized to a session-zone microsecond timestamp
+  * (whatever the source tier's physical type — see
+  * [[graft.util.Tables.normalizeEventTs]]); replicated events share
+  * timestamps, which is safe because every order-sensitive query
+  * tie-breaks on the (shifted, unique) event_id.
   *
   * With the optional `mutate-docs` flag, each document copy is passed
   * through a per-copy character-substitution cipher (`translate` with a
@@ -61,7 +62,7 @@ object ScaleUp {
     keyCols.filter { case (t, _) => only.forall(_.contains(t)) }.foreach { case (t, keys) =>
       val raw = spark.read.parquet(s"$src/$t.parquet")
       val base =
-        if (t == "events") raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        if (t == "events") graft.util.Tables.normalizeEventTs(raw, "ts")
         else raw
       val out = if (keys.isEmpty) base else
         (0 until copies).map { c =>
