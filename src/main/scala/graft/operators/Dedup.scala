@@ -217,12 +217,28 @@ object Dedup {
     *     filter keeps can never be dropped here by a rounding mismatch;
     *   - surviving pairs are scored by [[TextFunctions.sortedJaccard]]: the
     *     word set is sorted ONCE per document, so each candidate costs a
-    *     single allocation-free merge scan instead of a hash-set union. */
+    *     single allocation-free merge scan instead of a hash-set union.
+    *
+    * Exact-duplicate word SETS collapse to their minimum-id representative
+    * before either candidate path (the [[Similarity.collapseExactDuplicates]]
+    * discipline): boilerplate families — the dominant redundancy in crawled
+    * corpora — would otherwise pay clone² through the candidate stage. The
+    * pair list re-expands through the membership map afterward, which is
+    * output-invariant: candidates are lossless supersets on both paths,
+    * every cross-group score is computed from the identical arrays, and
+    * within-group pairs reproduce the identical self-score expression
+    * (sortedJaccard(w, w), behind the same n/n length prefilter that
+    * excludes empty word sets on both paths). Spec-pinned: the naive-vs-
+    * filtered equality fixtures plant exact duplicate texts. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double,
                    autoBlockBound: Int = 1024): DataFrame = {
-    val prepared = df.select(col(idCol).as("id"), blockExpr.as("block"),
+    val prepared0 = df.select(col(idCol).as("id"), blockExpr.as("block"),
       array_sort(TextFunctions.words(col(textCol))).as("w"))
+    val groups = prepared0.groupBy("block", "w").agg(min(col("id")).as("rep_id"))
+    val members = prepared0.join(groups, Seq("block", "w"))
+      .select(col("id"), col("rep_id"))
+    val prepared = groups.select(col("rep_id").as("id"), col("block"), col("w"))
       .withColumn("n", size(col("w")))
     // blocked path: ONE self-join carrying the word arrays — no join-back;
     // prefix path: ids-only candidate shuffle, arrays joined back once per
@@ -237,10 +253,31 @@ object Dedup {
           .join(prepared.select(col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a")), Seq("id_a"))
           .join(prepared.select(col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b")), Seq("id_b"))
       }
-    paired
+    val repPairs = paired
       .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= lit(threshold))
       .withColumn("jaccard", TextFunctions.sortedJaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // cross-group expansion (member ids interleave across groups → the
+    // orientation is re-normalized per expanded pair)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col("id").as("xa")), Seq("id_a"))
+      .join(members.select(col("rep_id").as("id_b"), col("id").as("xb")), Seq("id_b"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+    // within-group expansion: clone pairs score sortedJaccard(w, w) — the
+    // same expression an uncollapsed in-block pair of identical arrays
+    // evaluates — behind the same n/n prefilter (empty sets: NaN, dropped)
+    val selfJ = prepared
+      .filter(col("n").cast("double") / col("n") >= lit(threshold))
+      .withColumn("jaccard", TextFunctions.sortedJaccard(col("w"), col("w")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("r"), col("jaccard"))
+    val within = selfJ
+      .join(members.select(col("rep_id").as("r"), col("id").as("xa")), Seq("r"))
+      .join(members.select(col("rep_id").as("r"), col("id").as("xb")), Seq("r"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), col("jaccard"))
+    cross.unionByName(within)
   }
 }

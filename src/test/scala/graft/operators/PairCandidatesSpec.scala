@@ -201,6 +201,18 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(n < quad / 10, s"segment filter not selective: $n of $quad pairs")
   }
 
+  test("passjoin plans a hash join — the pair-shaped output is never sorted or spilled") {
+    // the 100 TB claim: candidates stream into the DP; a sort-merge join
+    // would sort (and under pressure spill) the probe set AND buffer the
+    // pair-shaped output through its sorters
+    val plan = PairCandidates.passJoinCandidates(editCorpus(60, withShort = false), maxDist = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash join for the segment match:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"segment match must not sort-merge:\n$plan")
+  }
+
   test("levenshtein query: exact-prefix collapse + 51-id truncation is output-invariant") {
     // documents fixture: a 60-clone prefix family (exercises the 51-id
     // expansion bound — ids 52..60 of the family can never reach a top-50
