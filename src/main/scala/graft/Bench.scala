@@ -16,6 +16,22 @@ object Bench {
     // Warm-up: touch every table once (FS metadata, codegen, JIT) so the
     // first measured query doesn't absorb one-time session costs.
     graft.util.Tables.all(spark, sfDir).values.foreach(df => df.count(): Unit)
+    // Calibration (VERDICT r8 #5): a fixed CPU-bound workload — constant
+    // in-memory aggregate, no I/O, no shuffle beyond the final partial
+    // merge — timed median-of-3 at capture start. Two rounds running, the
+    // artifact-to-artifact diff was dominated by uniform box-state shifts
+    // (r7: 0.74x, r8: 1.39x); dividing per-query ratios by the calibration
+    // ratio removes that mode so the regression gate can be tightened to
+    // 1.25x on NORMALIZED time.
+    val calibration = {
+      val times = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        spark.range(0L, 150000000L, 1L, 32)
+          .selectExpr("sum(id % 7 + id * 3)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(1)
+    }
     val keepRdds = graft.util.SessionHygiene.persistedIds(spark)
     val selected =
       if (subset.isEmpty) SparkEntry.queries
@@ -47,7 +63,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration":${fmt(calibration)},"queries":$qs,"sf":"$sfDir"}"""
     // Persist the full record to a file so per-round comparisons never need
     // stdout forensics, print the full line, then end stdout with a SHORT
     // always-parseable summary — if the capture truncates the long line
@@ -57,28 +73,53 @@ object Bench {
     println(json)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"target/bench.json"}""")
     spark.stop()
-    // Regression gate (VERDICT r7 #7): with SPARK_GRAFT_BENCH_REF set to a
-    // prior round's artifact, any common query slower than 1.5× its prior
-    // time (plus a 0.2 s floor so sub-100 ms queries don't trip on noise)
-    // fails the capture with a nonzero exit — a polluted or regressed run
-    // can no longer be committed silently. The artifact is still written:
+    // Regression gate (VERDICT r7 #7, normalization r8 #5): with
+    // SPARK_GRAFT_BENCH_REF set to a prior round's artifact, any common
+    // query slower than its prior time by the gate factor (plus a 0.2 s
+    // floor so sub-100 ms queries don't trip on noise) fails the capture
+    // with a nonzero exit — a polluted or regressed run can no longer be
+    // committed silently. When the reference carries a calibration number,
+    // prior times are first scaled by calibration/priorCalibration (the
+    // box-state ratio) and the gate tightens to 1.25x on normalized time;
+    // without one it stays the raw 1.5x. The artifact is still written:
     // the gate blocks SHIPPING it, not inspecting it.
     sys.env.get("SPARK_GRAFT_BENCH_REF").foreach { ref =>
+      val refText = Files.readString(Paths.get(ref))
       val prior = {
         val m = scala.collection.mutable.Map[String, Double]()
         val pat = java.util.regex.Pattern.compile("\"(q_[A-Za-z0-9_]+)\":([0-9.]+)")
-        val mt = pat.matcher(Files.readString(Paths.get(ref)))
+        val mt = pat.matcher(refText)
         while (mt.find()) m(mt.group(1)) = mt.group(2).toDouble
         m
       }
+      // a reference that shares no query names is the wrong file (a sweep
+      // .jsonl, a truncated capture): failing loudly beats a gate that
+      // passes vacuously over an empty prior map
+      if (!results.keys.exists(prior.contains)) {
+        System.err.println(
+          s"[bench-gate] FAIL: reference $ref shares no query names with this capture — wrong artifact shape?")
+        sys.exit(4)
+      }
+      val priorCalib = {
+        val pc = java.util.regex.Pattern.compile("\"calibration\":([0-9.]+)").matcher(refText)
+        if (pc.find()) Some(pc.group(1).toDouble).filter(_ > 0) else None
+      }
+      val (shift, bound) = priorCalib match {
+        case Some(p) => (calibration / p, 1.25)
+        case None    => (1.0, 1.5)
+      }
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-gate] calibration=%.4fs prior=%s shift=%.3f bound=%.2fx",
+        Double.box(calibration), priorCalib.map(p => f"$p%.4fs").getOrElse("n/a"),
+        Double.box(shift), Double.box(bound)))
       val regressed = results.toSeq.flatMap { case (name, sec) =>
-        prior.get(name).filter(p => sec > p * 1.5 + 0.2).map(p => (name, p, sec))
+        prior.get(name).filter(p => sec > p * shift * bound + 0.2).map(p => (name, p, sec))
       }
       regressed.foreach { case (name, p, sec) =>
-        System.err.println(s"[bench-gate] $name regressed: ${fmt(p)} -> ${fmt(sec)} s")
+        System.err.println(s"[bench-gate] $name regressed: ${fmt(p)} (norm ${fmt(p * shift)}) -> ${fmt(sec)} s")
       }
       if (regressed.nonEmpty) {
-        System.err.println(s"[bench-gate] FAIL: ${regressed.size} quer${if (regressed.size == 1) "y" else "ies"} >1.5x vs $ref")
+        System.err.println(s"[bench-gate] FAIL: ${regressed.size} quer${if (regressed.size == 1) "y" else "ies"} >${bound}x vs $ref")
         sys.exit(3)
       }
     }

@@ -221,28 +221,48 @@ object Dedup {
     *
     * Exact-duplicate word SETS collapse to their minimum-id representative
     * before either candidate path (the [[Similarity.collapseExactDuplicates]]
-    * discipline): boilerplate families — the dominant redundancy in crawled
-    * corpora — would otherwise pay clone² through the candidate stage. The
-    * pair list re-expands through the membership map afterward, which is
-    * output-invariant: candidates are lossless supersets on both paths,
-    * every cross-group score is computed from the identical arrays, and
-    * within-group pairs reproduce the identical self-score expression
-    * (sortedJaccard(w, w), behind the same n/n length prefilter that
-    * excludes empty word sets on both paths). Spec-pinned: the naive-vs-
-    * filtered equality fixtures plant exact duplicate texts. */
+    * discipline) — COST-GATED (VERDICT r8 #1) behind the memoized dup-factor
+    * probe ([[PairCandidates.shouldCollapse]] over the same md5 content key
+    * the collapse groups on): boilerplate families — the dominant redundancy
+    * in crawled corpora — would otherwise pay clone² through the candidate
+    * stage, but at dup ratio ≈ 1 the collapse's group-agg + membership joins
+    * buy nothing and the direct path wins. The pair list re-expands through
+    * the membership map afterward, which is output-invariant: candidates are
+    * lossless supersets on both paths, every cross-group score is computed
+    * from the identical arrays, and within-group pairs reproduce the
+    * identical self-score expression (sortedJaccard(w, w), behind the same
+    * n/n length prefilter that excludes empty word sets on both paths).
+    * Spec-pinned: the naive-vs-filtered equality fixtures plant exact
+    * duplicate texts; DedupSpec additionally pins collapsed ≡ direct.
+    *
+    * Collapse keys are md5(block, w) content hashes (16 bytes), not the
+    * word arrays themselves, so the group agg and the membership join
+    * shuffle scalars — word arrays cross the wire once, on the rep rows
+    * (the module's shuffles-never-carry-documents discipline). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double,
                    autoBlockBound: Int = 1024): DataFrame = {
     val prepared0 = df.select(col(idCol).as("id"), blockExpr.as("block"),
       array_sort(TextFunctions.words(col(textCol))).as("w"))
-    val groups = prepared0.groupBy("block", "w").agg(min(col("id")).as("rep_id"))
-    val members = prepared0.join(groups, Seq("block", "w"))
-      .select(col("id"), col("rep_id"))
-    val prepared = groups.select(col("rep_id").as("id"), col("block"), col("w"))
-      .withColumn("n", size(col("w")))
-    // blocked path: ONE self-join carrying the word arrays — no join-back;
-    // prefix path: ids-only candidate shuffle, arrays joined back once per
-    // side (at scale the candidate stage must never shuffle documents)
+    if (PairCandidates.shouldCollapse(prepared0.select(jaccardContentKey.as("k"))))
+      jaccardPairsCollapsed(prepared0, threshold, autoBlockBound)
+    else
+      jaccardPairsDirect(prepared0, threshold, autoBlockBound)
+  }
+
+  /** 16-byte content key of a (block, w) row — the collapse group identity. */
+  private def jaccardContentKey: Column = md5(to_json(struct(col("block"), col("w"))))
+
+  /** The ≥-threshold scoring stage shared by both strategies, over
+    * (id, block, w, n) rows: cost-based candidate generation (bounded
+    * all-pairs vs PPJoin prefix filter), length-ratio prefilter, exact
+    * sorted-merge Jaccard.
+    *
+    * Blocked path: ONE self-join carrying the word arrays — no join-back;
+    * prefix path: ids-only candidate shuffle, arrays joined back once per
+    * side (at scale the candidate stage must never shuffle documents). */
+  private def jaccardScore(prepared: DataFrame, threshold: Double,
+                           autoBlockBound: Int): DataFrame = {
     val paired =
       if (PairCandidates.maxBlockSize(prepared.select("id", "block", "w")) <= autoBlockBound) {
         val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a"))
@@ -253,11 +273,34 @@ object Dedup {
           .join(prepared.select(col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a")), Seq("id_a"))
           .join(prepared.select(col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b")), Seq("id_b"))
       }
-    val repPairs = paired
+    paired
       .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= lit(threshold))
       .withColumn("jaccard", TextFunctions.sortedJaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Direct formulation: every (id, block, w) row feeds the candidate stage
+    * itself — the right plan at dup ratio ≈ 1. */
+  private[operators] def jaccardPairsDirect(prepared0: DataFrame, threshold: Double,
+                                            autoBlockBound: Int): DataFrame =
+    jaccardScore(prepared0.withColumn("n", size(col("w"))), threshold, autoBlockBound)
+
+  /** Collapse formulation: group on the md5 content key, pair the reps,
+    * re-expand through the (id, rep_id) membership map. */
+  private[operators] def jaccardPairsCollapsed(prepared0: DataFrame, threshold: Double,
+                                               autoBlockBound: Int): DataFrame = {
+    val withK = prepared0.withColumn("k", jaccardContentKey)
+    // every (block, w) in a group is identical (that's what the key means),
+    // so first() is deterministic in VALUE even though row order is not
+    val groups = withK.groupBy("k").agg(min(col("id")).as("rep_id"),
+      first(col("block")).as("block"), first(col("w")).as("w"))
+    val members = withK.select(col("id"), col("k"))
+      .join(groups.select(col("k"), col("rep_id")), Seq("k"))
+      .select(col("id"), col("rep_id"))
+    val prepared = groups.select(col("rep_id").as("id"), col("block"), col("w"))
+      .withColumn("n", size(col("w")))
+    val repPairs = jaccardScore(prepared, threshold, autoBlockBound)
     // cross-group expansion (member ids interleave across groups → the
     // orientation is re-normalized per expanded pair)
     val cross = repPairs

@@ -91,6 +91,45 @@ object PairCandidates {
     }
   }
 
+  /** Duplicate factor = rows / distinct content keys of `keyed` (one column
+    * `k`) — the second strategy probe (VERDICT r8 #1): the exact-duplicate
+    * collapse ([[Similarity.collapseExactDuplicates]] and its jaccard /
+    * levenshtein analogues) buys order-of-magnitude wins on clone-heavy
+    * corpora but costs a group-agg plus two membership joins that buy
+    * NOTHING when the dup ratio is ≈ 1 — so the collapse is run only when
+    * this probe clears [[collapseDupFactorBound]], exactly as
+    * [[maxBlockSize]] gates the all-pairs/filtered candidate choice.
+    *
+    * One aggregate pass: `count(*)` + `approx_count_distinct(k)` (HLL —
+    * map-side bounded sketch, deterministic for a given input, ±5% rsd;
+    * strategy choice tolerates far more). Memoized under the same
+    * plan + file-fingerprint key discipline as [[maxBlockSize]]; a stale
+    * or colliding entry can only flip the STRATEGY — both paths are
+    * spec-pinned output-equal. */
+  def dupFactor(keyed: DataFrame): Double = {
+    val key = "dup#" + keyed.sparkSession.hashCode().toString + "#" +
+      keyed.queryExecution.analyzed.semanticHash().toString + "#" +
+      graft.util.DataFingerprint.of(keyed).toString
+    val scaled = memoizedStat(key) {
+      val r = keyed.agg(count(lit(1)), approx_count_distinct(col("k"))).head()
+      val n = r.getLong(0)
+      val d = math.max(r.getLong(1), 1L)
+      if (n == 0L) 1000L else math.round(n.toDouble / d * 1000.0)
+    }
+    scaled / 1000.0
+  }
+
+  /** Collapse when ≥ ~20% of rows are clones: below this the clone² saving
+    * cannot repay the collapse's group-agg + two joins (measured r8: the
+    * unconditional collapse cost the sf0.1 similarity queries 1.4–1.6×);
+    * well above the ≈1.05 an HLL probe reads on all-unique data, well
+    * below the ≥2 of any genuinely clone-heavy tier. */
+  val collapseDupFactorBound: Double = 1.25
+
+  /** The collapse-vs-direct strategy switch: probe + bound. */
+  def shouldCollapse(keyed: DataFrame): Boolean =
+    dupFactor(keyed) >= collapseDupFactorBound
+
   /** Naive per-block all-pairs — correct and cheapest while the largest
     * block is small (pair count ≤ maxBlock²/2 per block, bounded). */
   def blockAllPairs(blocked: DataFrame): DataFrame = {

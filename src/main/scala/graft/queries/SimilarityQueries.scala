@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -582,58 +581,47 @@ object SimilarityQueries {
     * quadratic with corpus growth.
     *
     * Exact-duplicate (block, prefix) rows collapse to their minimum-id
-    * representative BEFORE candidate generation: identical strings share
-    * every q-gram, so a g-clone boilerplate family would inflate the
-    * (block, gram) equi-join output by g² — the 1000×-tier ENOSPC. Rep
-    * pairs (lev from the identical strings) then re-expand through the
-    * membership map, but only each group's 51 smallest ids: with the final
-    * (lev, id_a, id_b) top-50, any expanded pair using a group's 52nd+ id
-    * is preceded by ≥51 same-lev pairs built from smaller ids of the same
-    * groups, so it can never reach the output — the truncation is exact,
-    * not approximate (spec-pinned in PairCandidatesSpec). Within-group
-    * clone pairs are lev=0 by identity; cross-rep pairs within a block are
-    * lev ≥ 1 since their strings differ. */
+    * representative BEFORE candidate generation — COST-GATED (VERDICT r8
+    * #1) behind the memoized dup-factor probe
+    * ([[graft.operators.PairCandidates.shouldCollapse]]): identical strings
+    * share every q-gram, so a g-clone boilerplate family would inflate the
+    * (block, gram) equi-join output by g² — the 1000×-tier ENOSPC — but at
+    * dup ratio ≈ 1 the collapse machinery buys nothing and the direct path
+    * wins. Rep pairs (lev from the identical strings) then re-expand
+    * through the membership map, but only each group's 51 smallest ids:
+    * with the final (lev, id_a, id_b) top-50, any expanded pair using a
+    * group's 52nd+ id is preceded by ≥51 same-lev pairs built from smaller
+    * ids of the same groups, so it can never reach the output — the
+    * truncation is exact, not approximate (spec-pinned in
+    * PairCandidatesSpec). The 51-smallest-ids selection is a bounded
+    * [[graft.functions.TopKAgg]] aggregate (map-side partial, O(51) state
+    * per group), not a row_number window — a giant clone family would
+    * funnel its whole membership into one window task (the known skew
+    * shape). Within-group clone pairs are lev=0 by identity; cross-rep
+    * pairs within a block are lev ≥ 1 since their strings differ. */
   def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
     import graft.operators.PairCandidates
     val docs0 = documents(s, d).select(
       col("doc_id").as("id"),
       substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
+    if (!PairCandidates.shouldCollapse(
+        docs0.select(md5(to_json(struct(col("block"), col("s")))).as("k"))))
+      return levRepPairs(docs0)
+        .orderBy(col("lev"), col("id_a"), col("id_b"))
+        .limit(50)
     val groups = docs0.groupBy("block", "s").agg(min(col("id")).as("rep_id"))
     val docs = groups.select(col("rep_id").as("id"), col("s"), col("block"))
-    // per-group 51 smallest member ids — all an exact top-50 can ever use
+    // per-group 51 smallest member ids — all an exact top-50 can ever use.
+    // Bounded min-k aggregate (score = −id under the desc-ordered TopKAgg;
+    // ids ≤ 2^53 so the double negation is exact), not a window.
     val m51 = docs0.join(groups, Seq("block", "s"))
       .select(col("id"), col("rep_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("rep_id")).orderBy(col("id"))))
-      .filter(col("rn") <= 51)
-      .select(col("id"), col("rep_id"))
-    // blocked path: one self-join carrying the prefixes. Big-block path:
-    // the PassJoin pigeonhole segment filter — the q-gram count filter's
-    // share-one-gram intermediate grows quadratically with block
-    // population (~119 k strings/block at the 1000× cipher tier chance-
-    // collide on trigrams at rate ~1 and ENOSPC'd a 79 GB box; verbatim
-    // 3-4 char segments at ±τ positions collide at ~5·10⁻⁴), and its
-    // candidates stream straight into the DP with both prefixes carried —
-    // no ids-only pair shuffle, no join-back. Both paths are lossless.
-    val repLev =
-      if (PairCandidates.maxBlockSize(docs) <= 1024) {
-        val a = docs.select(col("block"), col("id").as("id_a"), col("s").as("p_a"))
-        val b = docs.select(col("block"), col("id").as("id_b"), col("s").as("p_b"))
-        a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
-          .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
-          .filter(col("lev") <= 10)
-          .select("id_a", "id_b", "lev")
-      } else {
-        // candidates are un-deduped (≤ 2k multiplicity) and unordered —
-        // verify first (the DP output is tiny), then normalize + dedup
-        PairCandidates.passJoinCandidates(docs, maxDist = 10)
-          .withColumn("lev", levenshtein(col("s_a"), col("s_b")))
-          .filter(col("lev") <= 10)
-          .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
-          .dropDuplicates("id_a", "id_b")
-      }
+      .groupBy("rep_id")
+      .agg(graft.functions.TopKAgg.top_k(51)(col("id"), -col("id").cast("double")).as("top"))
+      .select(col("rep_id"), explode(col("top")).as("t"))
+      .select(col("t.id").as("id"), col("rep_id"))
+    val repLev = levRepPairs(docs)
     // cross-group expansion (ids interleave across groups → re-normalize);
     // within-group pairs are exact clones: lev = 0 by identity
     val cross = repLev
@@ -648,6 +636,37 @@ object SimilarityQueries {
     cross.unionByName(within)
       .orderBy(col("lev"), col("id_a"), col("id_b"))
       .limit(50)
+  }
+
+  /** ≤10-edit pair stage over (id, s, block) rows, shared by both
+    * strategies. Blocked path: one self-join carrying the prefixes.
+    * Big-block path: the PassJoin pigeonhole segment filter — the q-gram
+    * count filter's share-one-gram intermediate grows quadratically with
+    * block population (~119 k strings/block at the 1000× cipher tier
+    * chance-collide on trigrams at rate ~1 and ENOSPC'd a 79 GB box;
+    * verbatim 3-4 char segments at ±τ positions collide at ~5·10⁻⁴), and
+    * its candidates stream straight into the DP with both prefixes
+    * carried — no ids-only pair shuffle, no join-back. Both paths are
+    * lossless. */
+  private def levRepPairs(docs: DataFrame): DataFrame = {
+    import graft.operators.PairCandidates
+    if (PairCandidates.maxBlockSize(docs) <= 1024) {
+      val a = docs.select(col("block"), col("id").as("id_a"), col("s").as("p_a"))
+      val b = docs.select(col("block"), col("id").as("id_b"), col("s").as("p_b"))
+      a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("p_a"), col("p_b")))
+        .filter(col("lev") <= 10)
+        .select("id_a", "id_b", "lev")
+    } else {
+      // candidates are un-deduped (≤ 2k multiplicity) and unordered —
+      // verify first (the DP output is tiny), then normalize + dedup
+      PairCandidates.passJoinCandidates(docs, maxDist = 10)
+        .withColumn("lev", levenshtein(col("s_a"), col("s_b")))
+        .filter(col("lev") <= 10)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** As-of join ([[graft.operators.AsOf]]): each purchase event matched to

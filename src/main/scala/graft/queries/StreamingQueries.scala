@@ -20,35 +20,45 @@ import org.apache.spark.sql.streaming.Trigger
   * microseconds — a divergence needs the max event time to land within
   * 1 ms ABOVE the exact boundary `window_end + delay`, measure-zero on
   * microsecond data and absent from the driver fixtures (verified at all
-  * three tiers). */
+  * three tiers).
+  *
+  * SINGLE-BATCH pin: the oracle additionally assumes no event is DROPPED
+  * mid-stream as late — true only while the whole file source is read in
+  * one micro-batch (an event in batch k+1 older than the watermark batch k
+  * advanced would be dropped by the engine yet counted by the oracle).
+  * AvailableNow over a file source with `maxFilesPerTrigger` UNSET reads
+  * everything in one batch; [[runAvailableNow]] ASSERTS that at most one
+  * micro-batch carried rows, so a future split (someone setting the option,
+  * or an engine default change) fails loudly here instead of silently
+  * diverging the hash gate. */
 object StreamingQueries {
 
-  /** readStream(events) → 10-min watermark → 1-hour tumbling windows per
-    * event_type → parquet sink (AvailableNow), sink read back as the query
-    * result. The streaming twin of [[WindowQueries.hourlyCounts]], minus
-    * the windows the watermark never closes. */
-  def streamHourlyCounts(s: SparkSession, d: String): DataFrame = {
-    // file streaming source needs an explicit schema: reuse the batch
-    // footer's, then apply the same ts normalization the batch reader uses.
-    // It also requires a DIRECTORY or a glob — the driver tiers store
-    // events.parquet as a single file, so spell that case as a
-    // single-file-matching glob (derived tiers are directories and pass
-    // through)
+  /** Events table as a file STREAM with the batch reader's schema and ts
+    * normalization. The file source needs an explicit schema and a
+    * directory or glob — driver tiers store events.parquet as a single
+    * file, so spell that case as a single-file-matching glob (derived
+    * tiers are directories and pass through). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     val srcPath =
       if (new java.io.File(s"$d/events.parquet").isDirectory) s"$d/events.parquet"
       else s"$d/events.parque[t]"
-    val src = graft.util.Tables.normalizeEventTs(
+    graft.util.Tables.normalizeEventTs(
       s.readStream.schema(rawSchema).parquet(srcPath), "ts")
-    val agg = src
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("event_type"), col("cnt"))
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+  }
+
+  /** Run a streaming aggregate to a parquet sink under AvailableNow and
+    * read the sink back. Sink and checkpoint live in temp dirs registered
+    * with [[graft.util.TempLayouts]] (deleted at JVM exit — VERDICT r8 #3:
+    * a bench session invokes each streaming query 3×, and un-registered
+    * dirs accumulated parquet + state-store WAL per invocation, forever).
+    * Asserts the single-micro-batch assumption the oracles rest on (see
+    * object doc). */
+  private def runAvailableNow(agg: DataFrame, s: SparkSession): DataFrame = {
+    val out = graft.util.TempLayouts.register(
+      java.nio.file.Files.createTempDirectory("graft_stream_out")).toString
+    val ckpt = graft.util.TempLayouts.register(
+      java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toString
     val q = agg.writeStream
       .format("parquet")
       .option("path", out)
@@ -57,11 +67,56 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out).orderBy("window_start", "event_type")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"file source split into $dataBatches data batches — the oracle's " +
+        "no-mid-stream-late-drop assumption no longer holds " +
+        "(maxFilesPerTrigger must stay unset)")
+    s.read.parquet(out)
+  }
+
+  /** readStream(events) → 10-min watermark → 1-hour tumbling windows per
+    * event_type → parquet sink (AvailableNow), sink read back as the query
+    * result. The streaming twin of [[WindowQueries.hourlyCounts]], minus
+    * the windows the watermark never closes. */
+  def streamHourlyCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+    runAvailableNow(agg, s).orderBy("window_start", "event_type")
+  }
+
+  /** readStream(events) → 10-min watermark → per-user SESSION windows
+    * (5-min gap) → parquet sink (AvailableNow), sink read back — the
+    * second oracle-gated streaming entry (VERDICT r8 #4): dynamic
+    * gap-closed windows exercise the stateful session-merge machinery a
+    * tumbling window never touches. Session semantics: maximal event runs
+    * where consecutive same-user gaps are < 5 min (an event at exactly
+    * start + gap does NOT merge — Spark merges on strict window overlap);
+    * window end = last event + gap; append emits sessions whose end ≤ the
+    * final watermark. Outputs epoch-MICROSECOND session bounds: session
+    * starts are raw event times (not whole-hour buckets like the tumbling
+    * twin), so integer microseconds sidestep any format-vs-round risk
+    * between engines. */
+  def streamSessionCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("user_id"), col("cnt"))
+    runAvailableNow(agg, s).orderBy("session_start_us", "user_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_hourly" -> (streamHourlyCounts _))
+    "q_stream_hourly" -> (streamHourlyCounts _),
+    "q_stream_sessions" -> (streamSessionCounts _))
 
   val oracle: Map[String, String] = Map(
     // emit rule: window end (start + 1 h) ≤ max(ts) − 10 min — the final
@@ -76,5 +131,30 @@ object StreamingQueries {
          FROM b, m
          GROUP BY ws, event_type, mx
          HAVING ws + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2""",
+    // gaps-and-islands sessionization mirroring Spark's session_window
+    // merge rule: a new session starts when the same-user gap is ≥ 5 min
+    // (strict-overlap merge: equality does NOT merge); session end =
+    // last event + gap; append emits sessions with end ≤ mx − 10 min
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              m AS (SELECT max(ts) AS mx FROM e),
+              x AS (SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              g AS (SELECT user_id, ts,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                    FROM x),
+              sess AS (SELECT user_id, sid, min(ts) AS ws,
+                              max(ts) + INTERVAL 5 MINUTE AS we,
+                              count(*) AS cnt
+                       FROM g GROUP BY user_id, sid)
+         SELECT epoch_us(ws) AS session_start_us, epoch_us(we) AS session_end_us,
+                user_id, CAST(cnt AS BIGINT) AS cnt
+         FROM sess, m
+         WHERE we <= mx - INTERVAL 10 MINUTE
+         ORDER BY 1, 3""")
 }

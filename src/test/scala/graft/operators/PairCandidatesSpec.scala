@@ -93,6 +93,45 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dup-factor probe: ≈1 on all-unique keys, ≈clone multiple on clone-heavy") {
+    PairCandidates.invalidateStats()
+    val uniq = (0 until 500).map(i => s"u$i").toDF("k")
+    val fUniq = PairCandidates.dupFactor(uniq)
+    assert(fUniq <= 1.1, s"all-unique probe read $fUniq")
+    assert(!PairCandidates.shouldCollapse(uniq))
+    val clones = (0 until 500).map(i => s"c${i % 50}").toDF("k")
+    val fClones = PairCandidates.dupFactor(clones)
+    assert(fClones >= 5.0, s"10x-clone probe read $fClones")
+    assert(PairCandidates.shouldCollapse(clones))
+    // memoized: a second call over the same plan must hit the cache
+    val before = PairCandidates.statsSize
+    PairCandidates.dupFactor(clones)
+    assert(PairCandidates.statsSize == before)
+  }
+
+  test("jaccard md5-key collapse is output-invariant vs the direct formulation") {
+    // clone-heavy block: 3 families of 10 plus near-dups and singletons —
+    // the public dispatch picks collapse here (dup factor ≈ 50/23 > 1.25)
+    val raw = (0 until 50).map { i =>
+      if (i < 30) (i.toLong, jaccardText(1000 + i % 3)) // 3 clone families
+      else if (i % 7 == 6) (i.toLong, jaccardText(i - 1) + " changed")
+      else (i.toLong, jaccardText(i))
+    }.toDF("doc_id", "text")
+    val prepared0 = raw.select(col("doc_id").as("id"), lit("b").as("block"),
+      array_sort(TextFunctions.words(col("text"))).as("w"))
+    def run(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = run(Dedup.jaccardPairsDirect(prepared0, 0.2, 1024))
+    val collapsed = run(Dedup.jaccardPairsCollapsed(prepared0, 0.2, 1024))
+    assert(direct.nonEmpty)
+    // clone families must pair within AND across to their near-dups
+    assert(direct.exists { case (a, b, j) => a == 0L && b == 3L && j == 1.0 })
+    assert(collapsed == direct,
+      s"collapse diverged: only-direct=${direct -- collapsed} only-collapsed=${collapsed -- direct}")
+    val dispatched = run(Dedup.jaccardPairs(raw, "doc_id", "text", lit("b"), 0.2))
+    assert(dispatched == direct)
+  }
+
   test("auto strategy (blocked path) agrees with the forced prefix path") {
     val raw = (0 until 40).map { i =>
       if (i % 5 == 4) (i.toLong, jaccardText(i - 1) + " changed")
@@ -256,8 +295,12 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 0) && got.size == 50)
 
     // second fixture: few enough clones that CROSS-group pairs (clone
-    // family × its few-edit variant) must survive expansion + re-normalize
-    val docs2 = docs.filterNot { case (id, _) => id >= 101 && id < 160 }
+    // family × its few-edit variant) must survive expansion + re-normalize.
+    // A 9-clone family stays — dup factor 45/33 ≈ 1.36 ≥ the 1.25 bound, so
+    // the cost gate still routes this fixture through the collapse path
+    // (the expansion machinery is what it exists to pin) — while its 36
+    // lev-0 pairs plus the 5-family's 10 leave top-50 room for lev>0.
+    val docs2 = docs.filterNot { case (id, _) => id >= 109 && id < 160 }
     val dir2 = java.nio.file.Files.createTempDirectory("graft_lev_inv2").toString
     docs2.toSeq.toDF("doc_id", "p")
       .select(col("doc_id"),

@@ -479,7 +479,7 @@ class SimilaritySpec extends AnyFunSuite {
       p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val direct = collect(Similarity.cosineNearDuplicatesDirect(
       df, threshold = 0.4, numCentroids = 4, nprobe = 2))
-    val collapsed = collect(Similarity.cosineNearDuplicates(
+    val collapsed = collect(Similarity.cosineNearDuplicatesCollapsed(
       df, threshold = 0.4, numCentroids = 4, nprobe = 2))
     assert(direct.nonEmpty, "fixture must yield pairs")
     // clone-clique pairs must be present (family {1,4} and {2,6,9})
@@ -488,6 +488,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(collapsed == direct,
       s"collapse changed the output: only-direct=${direct -- collapsed} " +
         s"only-collapsed=${collapsed -- direct}")
+    // the cost-gated public dispatch must agree whatever branch it picks
+    // (this fixture is clone-heavy: 13 rows / 9 distinct ≈ 1.44 → collapse)
+    val dispatched = collect(Similarity.cosineNearDuplicates(
+      df, threshold = 0.4, numCentroids = 4, nprobe = 2))
+    assert(dispatched == direct)
     // zero-vector clones pair with nothing, including each other
     assert(direct.forall { case (x, y, _) => !Set(13L, 17L)(x) && !Set(13L, 17L)(y) })
 
@@ -499,9 +504,57 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaPairs = comps(Similarity.cosineNearDuplicatesDirect(
       df, 0.4, 4, 2).select("id_a", "id_b"))
-    val viaEdges = comps(Similarity.cosineNearDupEdges(df, 0.4, 4, 2))
+    val viaEdges = comps(Similarity.cosineNearDupEdgesCollapsed(df, 0.4, 4, 2))
     assert(viaEdges == viaPairs,
       s"edge graph closes differently: pairs=$viaPairs edges=$viaEdges")
+    val viaDispatch = comps(Similarity.cosineNearDupEdges(df, 0.4, 4, 2))
+    assert(viaDispatch == viaPairs)
+  }
+
+  test("hot-cell guard: a ~90%-dominant cell sub-splits to sub-quadratic candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // degenerate-quantizer fixture: 900 of 1000 vectors share one dominant
+    // direction with small DIVERSE jitters (deterministic per id; NOT
+    // exact clones, so the collapse cannot absorb them — the realistic
+    // low-diversity corpus whose residual structure the guard exploits),
+    // the rest spread; handcrafted 2-cell quantizer concentrates
+    // everything in cell 0. Planted: an exact-direction clone pair
+    // (100,101) and a 1e-6-jitter near pair (200,201) that the guard must
+    // keep as candidates (multi-probe sub-cell recovery).
+    def jittered(seed: Int, eps: Double): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array(1.0 + eps) ++ Array.fill(7)(0.01 * r.nextDouble())
+    }
+    val vecs: Seq[(Long, Array[Double])] = (0 until 1000).map { i =>
+      val id = i.toLong
+      if (i == 101) (id, jittered(100, 0.0))
+      else if (i == 201) (id, jittered(200, 1e-6))
+      else if (i < 900) (id, jittered(i, 0.0))
+      else (id, Array.tabulate(8)(j => if (j == 2 + i % 6) 1.0 else 0.0))
+    }
+    val withNorms = vecs.toDF("id", "v")
+      .withColumn("vn", Similarity.l2Norm(col("v")))
+    val cells = Seq(
+      (0L, Seq(1.0, 0, 0, 0, 0, 0, 0, 0), 1.0),
+      (1L, Seq(0.0, 1, 0, 0, 0, 0, 0, 0), 1.0))
+    PairCandidates.invalidateStats()
+    val unguarded = Similarity.repPairCandidates(withNorms, cells, nprobe = 2,
+      hotBound = Long.MaxValue).count()
+    val guarded = Similarity.repPairCandidates(withNorms, cells, nprobe = 2,
+      hotBound = 64)
+    val guardedN = guarded.count()
+    // pop ≈ 1000 in one cell: unguarded is pop²-shaped; the ⌈√pop⌉-way
+    // sub-split must cut candidates to ~pop·√pop·nprobe
+    assert(unguarded > 900L * 900L, s"fixture not hot: unguarded=$unguarded")
+    assert(guardedN < unguarded / 5,
+      s"sub-split not sub-quadratic: $unguarded -> $guardedN")
+    // planted near-dup pairs survive the sub-split as candidates
+    def hasPair(x: Long, y: Long): Boolean =
+      guarded.filter((col("id_a") === x && col("id_b") === y) ||
+        (col("id_a") === y && col("id_b") === x)).count() > 0
+    assert(hasPair(100L, 101L), "exact-direction clone pair lost by the guard")
+    assert(hasPair(200L, 201L), "1e-6 near pair lost by the guard")
   }
 
   test("semdedup: transitive closure retires a chain whose end pair was never emitted") {
