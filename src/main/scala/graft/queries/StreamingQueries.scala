@@ -114,9 +114,44 @@ object StreamingQueries {
     runAvailableNow(agg, s).orderBy("session_start_us", "user_id")
   }
 
+  /** readStream(clicks) ⋈ readStream(purchases) — a watermarked
+    * stream-stream INNER join (click → purchase attribution: same user,
+    * purchase within 1 hour after the click) through
+    * `StreamingSymmetricHashJoinExec`, the third oracle-gated streaming
+    * entry: with q_stream_hourly (tumbling window) and q_stream_sessions
+    * (session windows) this puts every implemented stateful streaming
+    * operator family inside the driver's hash gate. Both watermarks plus
+    * the two-sided time bound let the engine evict join state (without
+    * them a stream-stream join buffers both sides forever — the 100 TB
+    * concern); determinism needs NO emit-rule mirroring here: an INNER
+    * join emits a pair exactly when both rows have arrived, so under the
+    * single-batch AvailableNow read ([[runAvailableNow]]'s assertion) the
+    * sink is the full join result whatever the watermark — the oracle is
+    * the plain relational join. Epoch-micros outputs sidestep
+    * format-vs-round risk, as in [[streamSessionCounts]]. */
+  def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val joined = clicks.join(purchases, expr(
+      """user_id = p_user AND
+         purchase_ts >= click_ts AND
+         purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    runAvailableNow(joined, s).orderBy("click_id", "purchase_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (streamHourlyCounts _),
-    "q_stream_sessions" -> (streamSessionCounts _))
+    "q_stream_sessions" -> (streamSessionCounts _),
+    "q_stream_join" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
     // emit rule: window end (start + 1 h) ≤ max(ts) − 10 min — the final
@@ -156,5 +191,20 @@ object StreamingQueries {
                 user_id, CAST(cnt AS BIGINT) AS cnt
          FROM sess, m
          WHERE we <= mx - INTERVAL 10 MINUTE
-         ORDER BY 1, 3""")
+         ORDER BY 1, 3""",
+    // inner join: no emit rule to mirror (see streamClickAttribution doc)
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                           CAST(ts AS TIMESTAMP) AS click_ts
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT event_id AS purchase_id, user_id,
+                           CAST(ts AS TIMESTAMP) AS purchase_ts
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.click_id, p.purchase_id, c.user_id,
+                epoch_us(c.click_ts) AS click_us,
+                epoch_us(p.purchase_ts) AS purchase_us
+         FROM c JOIN p ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+         ORDER BY 1, 2""")
 }

@@ -62,7 +62,10 @@ class ChunkPackSpec extends AnyFunSuite {
     def run(k: Int) = TextQueries.seqPackSharded(spark, sf, k)
       .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"), col("seq_id"))
       .as[(String, Long, Long, Int, Long)].collect()
-    val byCount = Seq(1, 8, 32).map(k => k -> run(k)).toMap
+    // 1024 ≫ the stream count at fixture scale: most shards are empty —
+    // the degenerate high-parallelism corner a 100 TB run actually uses
+    // (VERDICT r8 #7; the big-tier wall-time row is in SCALING.md)
+    val byCount = Seq(1, 8, 32, 1024).map(k => k -> run(k)).toMap
     val tokenUniverse = byCount(8).map(r => (r._3, r._4)).toSet
     byCount.foreach { case (k, rows) =>
       assert(rows.map(r => (r._3, r._4)).toSet == tokenUniverse,
