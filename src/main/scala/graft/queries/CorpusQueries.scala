@@ -48,6 +48,43 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window substring-duplication profile — the DETECTION step of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): where [[paraDedup]] hashes ALIGNED
+    * 10-word blocks, this hashes the 10-gram at EVERY word position, so a
+    * duplicated passage is caught at any offset (the suffix-array result at
+    * fixed match length k, computed relationally). A position is
+    * "duplicated" when its 10-gram occurs anywhere else in the corpus
+    * (count > 1 — both copies count, unlike paraDedup's first-occurrence
+    * exemption: the Lee et al. policy cuts ALL copies and re-splices, so
+    * the per-doc duplicated-span mass is what matters). Output per doc:
+    * sliding positions and duplicated positions.
+    *
+    * Scale shape: ~one row per corpus WORD (10× paraDedup's volume — the
+    * price of offset-free detection), but each row is (16-byte md5,
+    * doc_id, pos) — text never shuffles. One shuffle by hash (high-
+    * cardinality, no hot keys) for the corpus-wide occurrence count, one
+    * partial-agg rollup by doc_id. At 100 TB the k-gram stream is the
+    * dominant term and is linear in corpus size; the md5 keys partial-agg
+    * nothing (all distinct-ish) but compress the wire to 16B + 12B per
+    * word. */
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 10)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ws"), (col("pos") + 1).cast("int"), lit(10))))).as("h"))
+    val w = Window.partitionBy("h")
+    g.withColumn("c", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("c") > 1).cast("long")).as("n_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination, Bloom-pre-filtered: q_decontam's broadcast
     * semi-join is the right shape while the benchmark's distinct-shingle
     * set broadcasts comfortably; when the eval suite grows past that, the
@@ -212,6 +249,7 @@ object CorpusQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_para_dedup"     -> (paraDedup _),
+    "q_substring_dedup" -> (substringDedup _),
     "q_decontam_bloom" -> (decontamBloom _),
     "q_lang_mixture"   -> (langMixture _),
     "q_ngram_lm"       -> (ngramLm _),
@@ -232,6 +270,17 @@ object CorpusQueries {
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
        FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         p0 AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 10 + 1)) AS pos
+                FROM w WHERE len(ws) >= 10),
+         g AS (SELECT doc_id, pos,
+                      md5(array_to_string(ws[pos+1 : pos+10], ' ')) AS h
+               FROM p0),
+         c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM g)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       FROM c GROUP BY doc_id ORDER BY doc_id""",
     // bit-identical to q_decontam by construction (Bloom false positives
     // are removed by the exact confirm join) — same oracle text
     "q_decontam_bloom" -> PipelineQueries.oracle("q_decontam"),

@@ -148,10 +148,62 @@ object StreamingQueries {
     runAvailableNow(joined, s).orderBy("click_id", "purchase_id")
   }
 
+  /** readStream(events) → `dropDuplicates(user_id, event_type)` → parquet
+    * sink — EXACT streaming dedup through `StreamingDeduplicateExec`, the
+    * fourth stateful operator family in the hash gate. The projection keeps
+    * only the dedup KEYS, so the sink is the distinct key set whatever
+    * physical row arrived first (first-row nondeterminism never reaches the
+    * output) and whatever the batch split — this entry needs neither the
+    * single-batch pin nor an emit rule (dedup emits first occurrences
+    * immediately; append mode needs no watermark). State is O(distinct
+    * keys) — the exact-dedup contract; the horizon-bounded variant
+    * (`dropDuplicatesWithinWatermark`, trading exactness past the horizon
+    * for bounded state at 100 TB) is covered by
+    * [[graft.streaming.StreamPipeline.dedupStream]]'s spec. */
+  def streamDedupKeys(s: SparkSession, d: String): DataFrame = {
+    val dedup = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runAvailableNow(dedup, s).orderBy("user_id", "event_type")
+  }
+
+  /** readStream(events) → `flatMapGroupsWithState` running totals per
+    * event_type → parquet sink — CUSTOM per-key state (the fifth stateful
+    * family in the gate: user-authored state transition, not an engine
+    * aggregate). Each micro-batch emits the key's updated running
+    * (n_events, value_cents); under the single-batch AvailableNow read
+    * ([[runAvailableNow]]'s assertion) that is exactly the final total per
+    * key, so the oracle is the plain relational GROUP BY. Values are cast
+    * to DECIMAL(12,2) then integer cents BEFORE summing — Long addition is
+    * order-independent, so no double-sum accumulation order can diverge
+    * the hash (the [[WindowQueries]] decimal discipline). State is
+    * O(#event types) — bounded, no watermark needed. */
+  def streamRunningTotals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = eventsStream(s, d)
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      .as[(String, Long)]
+    val totals = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (k: String, rows: Iterator[(String, Long)], st: GroupState[(Long, Long)]) => {
+          var (n, tot) = st.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; tot += r._2 }
+          st.update((n, tot))
+          Iterator((k, n, tot))
+        })
+      .toDF("event_type", "n_events", "value_cents")
+    runAvailableNow(totals, s).orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (streamHourlyCounts _),
     "q_stream_sessions" -> (streamSessionCounts _),
-    "q_stream_join" -> (streamClickAttribution _))
+    "q_stream_join" -> (streamClickAttribution _),
+    "q_stream_dedup" -> (streamDedupKeys _),
+    "q_stream_totals" -> (streamRunningTotals _))
 
   val oracle: Map[String, String] = Map(
     // emit rule: window end (start + 1 h) ≤ max(ts) − 10 min — the final
@@ -206,5 +258,15 @@ object StreamingQueries {
          FROM c JOIN p ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2""",
+    // keys-only projection: distinct key set, no emit rule / batch-split
+    // sensitivity (see streamDedupKeys doc)
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
+    // single-batch read → the emitted running totals ARE the final totals
+    "q_stream_totals" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events GROUP BY event_type ORDER BY 1""")
 }

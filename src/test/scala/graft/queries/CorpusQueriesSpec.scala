@@ -29,6 +29,34 @@ class CorpusQueriesSpec extends AnyFunSuite {
       s"passage exchange carries document text:\n${lines(exIdx + 1)}")
   }
 
+  test("substring_dedup: offset-shifted duplicate passage caught; aligned para_dedup misses it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssd_fixture").toString
+    // doc 1: w0..w19; doc 2: one junk word then w0..w9 — the shared
+    // passage sits at OFFSET 1 in doc 2, misaligned with its 10-word
+    // blocks, so block-aligned para_dedup cannot see it
+    val w = (0 until 20).map(i => s"w$i")
+    Seq((1L, w.mkString(" ")), (2L, ("x" +: w.take(10)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ssd = CorpusQueries.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ssd(1L) == ((11L, 1L)), "doc 1: 11 sliding grams, w0..w9 duplicated")
+    assert(ssd(2L) == ((2L, 1L)), "doc 2: 2 sliding grams, the offset-1 one duplicated")
+    val pd = CorpusQueries.paraDedup(spark, dir).collect()
+      .map(r => r.getLong(2)).sum
+    assert(pd == 0L, "aligned block dedup must NOT see the shifted duplicate")
+  }
+
+  test("substring_dedup: gram shuffle carries hashes and ids, not text") {
+    val lines = CorpusQueries.substringDedup(spark, sf).queryExecution.executedPlan
+      .toString.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && exIdx + 1 < lines.size)
+    assert(!lines(exIdx + 1).contains("text#") && !lines(exIdx + 1).contains("ws#"),
+      s"gram exchange carries document text:\n${lines(exIdx + 1)}")
+  }
+
   test("decontam_bloom: bloom pre-filter probes inside the corpus scan pipeline") {
     val plan = CorpusQueries.decontamBloom(spark, sf)
       .queryExecution.executedPlan.toString

