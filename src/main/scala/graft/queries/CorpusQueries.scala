@@ -85,6 +85,39 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source n-gram leakage matrix: for every pair of sources, how
+    * many DISTINCT 10-grams they share — the train/eval cross-contamination
+    * audit run before splitting a corpus into training subsets and held-out
+    * benchmarks (a source pair with heavy overlap cannot sit on opposite
+    * sides of the split). Shares [[substringDedup]]'s sliding gram stream.
+    *
+    * Scale shape: one shuffle by gram hash (16-byte md5 + source tag —
+    * text never moves); `collect_set(source)` per hash is bounded by the
+    * CATALOG size (#sources — tens-to-hundreds, never data-sized), with
+    * map-side partial aggregation collapsing each source's repeats of a
+    * gram before the wire; the pair explode is |S_h|² ≤ #sources² per
+    * hash and the final rollup has ≤ #sources² groups. Single-source
+    * grams (the overwhelming mass) are dropped before the explode. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 10)
+      .select(col("source"), col("ws"),
+        explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("pos"))
+      .select(col("source"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ws"), (col("pos") + 1).cast("int"), lit(10))))).as("h"))
+    g.groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "y -> struct(x AS source_a, y AS source_b))))")).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Benchmark decontamination, Bloom-pre-filtered: q_decontam's broadcast
     * semi-join is the right shape while the benchmark's distinct-shingle
     * set broadcasts comfortably; when the eval suite grows past that, the
@@ -250,6 +283,7 @@ object CorpusQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_para_dedup"     -> (paraDedup _),
     "q_substring_dedup" -> (substringDedup _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_decontam_bloom" -> (decontamBloom _),
     "q_lang_mixture"   -> (langMixture _),
     "q_ngram_lm"       -> (ngramLm _),
@@ -281,6 +315,17 @@ object CorpusQueries {
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
        FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         p0 AS (SELECT source, ws, unnest(range(0, len(ws) - 10 + 1)) AS pos
+                FROM w WHERE len(ws) >= 10),
+         g AS (SELECT DISTINCT source,
+                      md5(array_to_string(ws[pos+1 : pos+10], ' ')) AS h
+               FROM p0)
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+       GROUP BY 1, 2 ORDER BY 1, 2""",
     // bit-identical to q_decontam by construction (Bloom false positives
     // are removed by the exact confirm join) — same oracle text
     "q_decontam_bloom" -> PipelineQueries.oracle("q_decontam"),

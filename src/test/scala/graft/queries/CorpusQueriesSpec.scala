@@ -57,6 +57,27 @@ class CorpusQueriesSpec extends AnyFunSuite {
       s"gram exchange carries document text:\n${lines(exIdx + 1)}")
   }
 
+  test("source_overlap: shared grams counted once per source pair, unrelated sources absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_so_fixture").toString
+    val w = (0 until 12).map(i => s"w$i") // w0..w11
+    Seq(
+      // srcA doc: w0..w11 → grams at pos 0,1,2
+      (1L, w.mkString(" "), "srcA"),
+      // srcB doc: junk then w0..w10 → shares grams w0..w9 AND w1..w10
+      (2L, ("x" +: w.take(11)).mkString(" "), "srcB"),
+      // srcB second doc repeats w0..w9 — must NOT double-count the pair
+      (3L, w.take(10).mkString(" "), "srcB"),
+      // srcC: unrelated
+      (4L, (0 until 10).map(i => s"z$i").mkString(" "), "srcC"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusQueries.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("srcA", "srcB", 2L)),
+      s"expected exactly the (srcA, srcB, 2) cell, got ${rows.toSeq}")
+  }
+
   test("decontam_bloom: bloom pre-filter probes inside the corpus scan pipeline") {
     val plan = CorpusQueries.decontamBloom(spark, sf)
       .queryExecution.executedPlan.toString
