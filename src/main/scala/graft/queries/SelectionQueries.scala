@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.util.Tables._
+
+/** Training-data SELECTION surface — the step after cleaning/dedup where a
+  * corpus is scored, bucketed and split into the actual training mix:
+  * retrieval-based relevance scoring (BM25 — the DSIR/data-selection
+  * lineage's lexical baseline), exact global quality-quantile binning (the
+  * FineWeb/DCLM-style "keep the top deciles at higher rates" recipe), and
+  * deterministic train/validation/test split assignment (the audit that
+  * the split is a pure function of the document id, not of layout).
+  *
+  * Float discipline: the ONLY floating-point step anywhere in this module
+  * is BM25's one `ln` per distinct query term (model-sized, never
+  * corpus-sized), immediately rounded to integer micro-units; everything
+  * aggregated afterwards is BIGINT integer arithmetic (`div`, not `/`), so
+  * no accumulation order or decimal-scale rule can diverge between engines
+  * — the q_lang_mixture / q_ngram_lm discipline.
+  */
+object SelectionQueries {
+
+  /** BM25 (k1 = 1.2, b = 0.75) relevance of every document against a fixed
+    * query-term set, top-50 — the lexical data-selection scorer: given a
+    * target domain expressed as query terms, keep the corpus slice that
+    * scores highest.
+    *
+    * Integer-exact scoring: with N docs, T total tokens, per-doc length
+    * dl and per-term tf/df,
+    *   idf_micro = round(ln((N − df + 0.5)/(df + 0.5) + 1) · 10⁶)
+    *   avgdl_milli = (T·1000) div N
+    *   contrib = (idf_micro · 2200 · tf)
+    *             div (1000·tf + 300 + (900000·dl) div avgdl_milli)
+    * which is the BM25 term score scaled by 10⁶ (2200 = 1000·(k1+1);
+    * 300 = 1000·k1·(1−b); 900000·dl/avgdl_milli = 1000·k1·b·dl/avgdl).
+    * Overflow bound: idf_micro ≤ ~35·10⁶ (ln of any df split), tf ≤ dl, so
+    * the widest product is idf_micro·2200·tf ≤ 7.7·10¹⁰·dl — safe through
+    * million-token documents.
+    *
+    * Scale shape: tokenization is map-side; the term stream is filtered to
+    * the |Q|-bounded query set BEFORE the only data-sized shuffle (the
+    * (doc_id, term) partial-agg — ≤ |Q| rows per doc survive the map side);
+    * df/idf/avgdl are |Q|-and-scalar-sized and broadcast back. One more
+    * partial-agg rollup per doc, then a global top-50 (TakeOrdered — no
+    * full sort). The corpus is scanned once. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val queryTerms = Seq("spark", "hash", "join", "window", "stream")
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val totals = docs.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * 1e6, 0).cast("long").as("idf_micro"))
+    val avgdl = totals.select(expr("(t * 1000) div n").as("avgdl_milli"))
+    tf.join(broadcast(idf), "term")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib", expr(
+        "(idf_micro * 2200 * tf) div (1000 * tf + 300 + (900000 * dl) div avgdl_milli)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Exact global quality-DECILE binning with NO global sort: per-decile
+    * corpus statistics over an integer quality score (stopword basis
+    * points — bounded domain 0..10000). The classic plan for "global
+    * ntile" is a single-partition window over the whole corpus — the
+    * one-task sort anti-pattern at any scale. This computes the identical
+    * answer from (a) a score HISTOGRAM (≤ 10001 rows — bounded by the
+    * score DOMAIN, not the data) whose cumulative counts give each score
+    * value's global rank offset, and (b) a per-score row_number window
+    * (partitioned by score — high-cardinality, data-parallel) for the
+    * within-score tie-break by doc_id. global_rank = offset + within-rank,
+    * decile = ((global_rank − 1) · 10) div N; the oracle mirrors the same
+    * rank with a plain row_number() — equal by construction, proving the
+    * distributed plan against the single-sort semantics. */
+  def qualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .select(col("doc_id"),
+        stopwordRatioBp(col("text")).as("score"),
+        wordCount(col("text")).cast("long").as("n_words"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    // histogram-sized window: ≤ 10001 rows whatever the corpus size
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("score", "offset")
+    val withinW = Window.partitionBy("score").orderBy("doc_id")
+    scored
+      .withColumn("rw", row_number().over(withinW))
+      .join(broadcast(hist), "score")
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("((offset + rw - 1) * 10) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("min_score"), max("score").as("max_score"),
+        sum("n_words").as("sum_words"))
+      .orderBy("decile")
+  }
+
+  /** Deterministic train/validation/test split (98/1/1) as a pure function
+    * of doc_id — the affine permutation [[CorpusQueries.langMixture]] and
+    * q_sample_stratified use — rolled up per (source, split): the audit
+    * table a data-governance pass signs off before training starts (no
+    * source may land entirely in one split; token budgets per split are
+    * read straight off it). Map-only assignment + one partial-agg over
+    * ≤ |sources|·3 groups; re-running on any subset of the corpus assigns
+    * every doc identically (no layout, ordering or sampling dependence). */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val perm = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(15485863L) + lit(17L),
+      lit(2147483647L)) % 100
+    documents(s, d)
+      .select(col("source"),
+        when(perm < 98, "train").when(perm < 99, "validation")
+          .otherwise("test").as("split"),
+        wordCount(col("text")).cast("long").as("n_words"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+      .orderBy("source", "split")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"            -> (bm25 _),
+    "q_quality_deciles" -> (qualityDeciles _),
+    "q_split_assign"    -> (splitAssign _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                            string_split(text, ' ') AS ws
+                     FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dd),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('spark','hash','join','window','stream')
+                GROUP BY doc_id, dl, term),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         idf AS (SELECT term,
+                        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000, 0) AS BIGINT) AS idf_micro
+                 FROM df, tot),
+         avgd AS (SELECT (t * 1000) // n AS avgdl_milli FROM tot)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(sum((idf_micro * 2200 * tf) //
+                       (1000 * tf + 300 + (900000 * dl) // avgdl_milli)) AS BIGINT) AS score_micro
+       FROM tf JOIN idf USING (term), avgd
+       GROUP BY doc_id
+       ORDER BY score_micro DESC, doc_id
+       LIMIT 50""",
+    "q_quality_deciles" ->
+      """WITH s AS (SELECT doc_id,
+                           CAST(floor(len(list_filter(string_split(text, ' '),
+                                                      x -> x IN ('the','a','of','and','to'))) * 10000
+                                      / len(string_split(text, ' '))) AS BIGINT) AS score,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                    FROM documents),
+         r AS (SELECT score, n_words,
+                      row_number() OVER (ORDER BY score, doc_id) AS grank
+               FROM s),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+       SELECT ((grank - 1) * 10) // n AS decile,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              min(score) AS min_score, max(score) AS max_score,
+              CAST(sum(n_words) AS BIGINT) AS sum_words
+       FROM r, tot
+       GROUP BY 1 ORDER BY 1""",
+    "q_split_assign" ->
+      """WITH a AS (SELECT source,
+                           CASE WHEN (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 100 < 98 THEN 'train'
+                                WHEN (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 100 < 99 THEN 'validation'
+                                ELSE 'test' END AS split,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                    FROM documents)
+       SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_words) AS BIGINT) AS n_words
+       FROM a GROUP BY source, split ORDER BY source, split""",
+  )
+}

@@ -163,6 +163,35 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** k-NN GRAPH over the whole embedding corpus — every vector is a query
+    * against the shared IVF structure ([[Similarity.ivfTopK]] with
+    * queries = corpus), emitting the directed top-5 edge list plus a
+    * `mutual` flag (both endpoints in each other's top-5). The kNN graph is
+    * the substrate of cluster-based curation (SemDeDup's cluster step,
+    * graph-community dedup, diversity sampling); the mutual subgraph is its
+    * standard symmetrized form.
+    *
+    * Scale shape: one map-only assignment pass over the corpus (C
+    * centroids broadcast), candidate pairing meets only within probed
+    * cells (nprobe/C of the corpus per query — never all-pairs), ranking
+    * is the bounded TopKAgg (O(k) state per query, partial-aggregated
+    * map-side). The mutuality check is a self-join of the k·N edge list on
+    * its reversed key — (long, long) scalars, unique per side, no fan-out.
+    * Deterministic end-to-end (lowest-id seeds, tie-broken assignment and
+    * ranking), so the oracle mirrors the exact pipeline value-for-value. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val edges = Similarity.ivfTopK(emb, emb, k = 5)
+      .select(col("query_id"), col("candidate_id"), col("rank"), col("sim"))
+    val back = edges.select(col("query_id").as("b_q"), col("candidate_id").as("b_c"))
+    edges.join(back,
+        col("query_id") === col("b_c") && col("candidate_id") === col("b_q"), "left")
+      .select(col("query_id"), col("candidate_id"), col("rank"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"),
+        col("b_q").isNotNull.cast("long").as("mutual"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Residual-encoding IVFADC, declared ([[Similarity.ivfAdcResidualTopK]]):
     * the coarse quantizer is one fixed-point Lloyd round over the 16
     * lowest-id seeds (residuals need MEAN centroids — against raw seed
@@ -689,6 +718,7 @@ object SimilarityQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_norm"      -> (embedNorm _),
     "q_cosine_topk"     -> (cosineTopK _),
+    "q_knn_graph"       -> (knnGraph _),
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
     "q_cosine_topk_ivf_assigned" -> (cosineTopKIvfAssigned _),
     "q_ann_index_probe" -> (annIndexProbe _),
@@ -736,6 +766,44 @@ object SimilarityQueries {
                 CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // The IVF pipeline with queries = corpus (probe has no vec_id filter),
+    // then the reversed-key self-join for the mutual flag.
+    "q_knn_graph" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            nv AS (SELECT vec_id, ve,
+                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
+                   FROM v),
+            cents AS (SELECT vec_id AS cell_id, ve AS cv, vn AS cn
+                      FROM nv ORDER BY vec_id LIMIT 16),
+            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
+                            list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
+                            / c.cn AS csim
+                     FROM nv n CROSS JOIN cents c),
+            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM asim),
+            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
+            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr <= 4),
+            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                             list_reduce(list_transform(range(1, len(p.ve) + 1),
+                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
+                             / (p.vn * a.vn) AS sim
+                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+            ranked AS (SELECT query_id, candidate_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, candidate_id) AS rank,
+                              sim
+                       FROM pairs),
+            top AS (SELECT query_id, candidate_id, rank, sim FROM ranked WHERE rank <= 5)
+         SELECT t.query_id, t.candidate_id, t.rank,
+                CAST(CAST(round(t.sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim,
+                CAST(CASE WHEN b.query_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS mutual
+         FROM top t
+         LEFT JOIN top b ON b.query_id = t.candidate_id AND b.candidate_id = t.query_id
+         ORDER BY t.query_id, t.rank""",
     // Mirrors ivfTopK stage-for-stage: 16 lowest-id seed centroids, map-only
     // argmax assignment (ties → lowest cell), nprobe=4 probe cells per query,
     // in-cell cosine, distinct pair, rank ≤ 5. Fold orders match Spark's

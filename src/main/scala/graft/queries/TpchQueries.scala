@@ -144,8 +144,30 @@ object TpchQueries {
           .as("low_line_count"))
       .orderBy("l_returnflag")
 
+  /** Q10 shape: returned-item reporting — which customers returned the most
+    * revenue in a quarter. Fact filter (one quarter + return flag) before
+    * the joins, customer/nation enrichment broadcast-sized against the
+    * filtered fact stream, top-20 by the aggregate (TakeOrdered, no global
+    * sort). */
+  def returnedItemReport(s: SparkSession, d: String): DataFrame = {
+    val rev = dec("l_extendedprice") *
+      (lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)) - dec("l_discount"))
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(rev).cast(DecimalType(18, 4)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch5_local"    -> (localSupplierVolume _),
+    "q_tpch10_returns" -> (returnedItemReport _),
     "q_tpch4_late"     -> (latePriorityOrders _),
     "q_tpch12_modes"   -> (returnflagPriority _),
     "q_tpch1_pricing"  -> (pricingSummary _),
@@ -156,6 +178,19 @@ object TpchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
     "q_tpch4_late" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics + plan invariants for the training-data selection family
+  * (BM25 scoring, exact global decile binning, deterministic splits)
+  * beyond the DuckDB hash gate. */
+class SelectionQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("bm25: hand-computed two-doc fixture matches the integer formula") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_fixture").toString
+    // doc 1 has 'spark' twice in 4 tokens; doc 2 has no query term in 6
+    Seq((1L, "spark a spark b"), (2L, "c d e f g h"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SelectionQueries.bm25(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L)
+    // N=2, T=10, df=1: idf_micro = round(ln((2-1+0.5)/1.5 + 1)*1e6) = ln(2)*1e6
+    val idf = math.round(math.log((2 - 1 + 0.5) / 1.5 + 1.0) * 1e6)
+    // avgdl_milli = 10000/2 = 5000; dl=4, tf=2
+    val contrib = (idf * 2200 * 2) / (1000 * 2 + 300 + (900000L * 4) / 5000)
+    assert(rows(0).getLong(2) == contrib, s"expected $contrib")
+  }
+
+  test("bm25: term stream is filtered to the query set before the aggregate shuffle") {
+    val lines = SelectionQueries.bm25(spark, sf).queryExecution.executedPlan
+      .toString.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0)
+    // every exchange in the plan carries grouped scalars, never the ws array
+    lines.zipWithIndex.filter(_._1.contains("Exchange")).foreach { case (_, i) =>
+      if (i + 1 < lines.size)
+        assert(!lines(i + 1).contains("ws#"),
+          s"exchange carries the token array:\n${lines(i + 1)}")
+    }
+  }
+
+  test("quality_deciles: histogram+within-score rank equals a global sort rank") {
+    import spark.implicits._
+    val res = SelectionQueries.qualityDeciles(spark, sf).collect()
+    val n = res.map(_.getLong(1)).sum
+    // deciles partition the corpus: 10 buckets (or fewer on tiny corpora),
+    // sizes within 1 of n/10 when 10 divides into the corpus evenly enough
+    assert(res.map(_.getLong(0)).distinct.length == res.length)
+    assert(res.map(_.getLong(1)).sum == n)
+    val sizes = res.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1,
+      s"decile sizes must differ by at most 1: ${sizes.mkString(",")}")
+    // score ranges must be non-overlapping and ordered with the decile
+    val ordered = res.sortBy(_.getLong(0))
+    ordered.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2),
+        "decile max_score must not exceed next decile's min_score")
+      case _ =>
+    }
+  }
+
+  test("quality_deciles: no single-partition corpus-sized window in the plan") {
+    // the per-score window partitions by score; the only unpartitioned
+    // window allowed is the histogram's (bounded by the score domain).
+    // Assert the data-sized window operator has a partition key.
+    val plan = SelectionQueries.qualityDeciles(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(windows.exists(_.contains("score#")),
+      "within-score rank window must partition by score")
+  }
+
+  test("split_assign: assignment is a pure function of doc_id (subset-stable) and ~98/1/1") {
+    import spark.implicits._
+    val res = SelectionQueries.splitAssign(spark, sf).collect()
+    val bySplit = res.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val n = bySplit.values.sum
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    assert(bySplit("train").toDouble / n > 0.95)
+    assert(bySplit("validation").toDouble / n < 0.03)
+    assert(bySplit("test").toDouble / n < 0.03)
+    // subset stability: restricting the corpus to even doc_ids must give
+    // exactly the even-doc contribution of the full assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
+    graft.util.Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sub = SelectionQueries.splitAssign(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perm = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(15485863L) + lit(17L),
+      lit(2147483647L)) % 100
+    val full = graft.util.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("source"),
+        when(perm < 98, "train").when(perm < 99, "validation").otherwise("test").as("split"))
+      .groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sub == full)
+  }
+
+  test("knn_graph: mutual flag is symmetric and edges are each vector's ivf top-5") {
+    val edges = SimilarityQueries.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val set = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { case (q, c, m) =>
+      assert((m == 1L) == set.contains((c, q)),
+        s"mutual flag wrong for ($q,$c)")
+    }
+    // every vector with a non-empty probe neighborhood appears as a query
+    val perQuery = edges.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 5))
+  }
+}
