@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.all ++ ScalarQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ ExtendedRelationalQueries.all ++
       TpchQueries.all ++ FunctionQueries.all ++ PipelineQueries.all ++
-      CorpusQueries.all ++ StreamingQueries.all ++ SelectionQueries.all
+      CorpusQueries.all ++ StreamingQueries.all ++ SelectionQueries.all ++
+      AnalyticsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ ScalarQueries.oracle ++ WindowQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++ ExtendedRelationalQueries.oracle ++
       TpchQueries.oracle ++ FunctionQueries.oracle ++ PipelineQueries.oracle ++
-      CorpusQueries.oracle ++ StreamingQueries.oracle ++ SelectionQueries.oracle
+      CorpusQueries.oracle ++ StreamingQueries.oracle ++ SelectionQueries.oracle ++
+      AnalyticsQueries.oracle
 }

@@ -89,7 +89,10 @@ object AnalyticsQueries {
     * At 100 TB this is the difference between one corpus read and one
     * per profiled column. */
   def profileOrders(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
+    // o_orderdate arrives TIMESTAMP_NTZ from the driver parquet; reinterpret
+    // in the UTC session zone (instant unchanged — the Tables.events rule)
+    // so unix_micros applies
+    val o = normalizeEventTs(orders(s, d), "o_orderdate")
     val row = o.agg(
       count(lit(1)).as("n_rows"),
       sum(col("o_orderkey").isNull.cast("long")).as("nn_ok"),

@@ -37,6 +37,25 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream_enrich equals the batch join+window twin (engine-vs-engine)") {
+    val streamed = StreamingQueries.streamStaticEnrich(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val dim = graft.util.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val mx = events.agg(max("ts")).head().getTimestamp(0).getTime
+    val batch = events.join(dim, Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double").as("sum_value"))
+      // batch twin applies the streaming emit rule by hand
+      .filter(unix_millis(col("window.end")) <= mx - 10L * 60 * 1000)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"),
+        col("c_mktsegment"), col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream_dedup state count matches the distinct key count (dedup state is real)") {
     // the distinct key set IS the state StreamingDeduplicateExec holds;
     // equality pins that the stateful operator ran (a stateless rewrite
