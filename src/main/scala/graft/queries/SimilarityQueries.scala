@@ -181,7 +181,16 @@ object SimilarityQueries {
     * ranking), so the oracle mirrors the exact pipeline value-for-value. */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val edges = Similarity.ivfTopK(emb, emb, k = 5)
+    // the SCALE shape, not the fixture constants: with every vector a
+    // query, C = 16 would make the probe volume N·nprobe·(N/16) —
+    // effectively quadratic. C = √N bounds per-query work at nprobe·√N,
+    // the [[cosineTopKIvfKmeans]] parameter formula.
+    val n = emb.count()
+    val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val np = math.max(2, c / 12)
+    val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 2)
+    val edges = Similarity.ivfTopK(emb, emb, k = 5,
+        numCentroids = c, nprobe = np, centroidsOverride = Some(refined))
       .select(col("query_id"), col("candidate_id"), col("rank"), col("sim"))
     val back = edges.select(col("query_id").as("b_q"), col("candidate_id").as("b_c"))
     edges.join(back,
@@ -450,7 +459,8 @@ object SimilarityQueries {
   /** WITH-fragment: the assign → probe → in-cell cosine → rank pipeline over
     * the centroids in CTE `centsCte`; emits `ranked` (query_id,
     * candidate_id, rank, sim). Mirrors [[Similarity.ivfTopK]]. */
-  private def ivfSearchSql(centsCte: String, parJoin: String, npExpr: String): String =
+  private def ivfSearchSql(centsCte: String, parJoin: String, npExpr: String,
+                           queryPred: String = "vec_id < 64"): String =
     s"""cn_f AS (SELECT cell_id, cv, ${sqlNorm("cv")} AS cn FROM $centsCte),
         sim_f AS (SELECT n.vec_id, s.cell_id, ${sqlDot("n.ve", "s.cv")} / s.cn AS csim
                   FROM v n CROSS JOIN cn_f s),
@@ -461,7 +471,7 @@ object SimilarityQueries {
         probe AS (SELECT vec_id, cell_id AS cell
                   FROM (SELECT vec_id, cell_id,
                                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS cr
-                        FROM sim_f WHERE vec_id < 64)$parJoin
+                        FROM sim_f WHERE $queryPred)$parJoin
                   WHERE cr <= $npExpr),
         nv AS (SELECT vec_id, ve, ${sqlNorm("ve")} AS vn FROM v),
         pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
@@ -480,6 +490,24 @@ object SimilarityQueries {
               CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
        FROM ranked WHERE rank <= 5
        ORDER BY query_id, rank"""
+
+  /** [[knnGraph]]'s oracle: the scale-shaped k-means IVF search with every
+    * vector as a query (probe predicate TRUE), plus the reversed-key
+    * self-join computing the mutual flag. */
+  private val knnGraphOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                   FROM embeddings),
+           par AS (SELECT c, greatest(2, CAST(floor(c / 12.0) AS BIGINT)) AS np
+                   FROM (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v)),
+        ${lloydChain(2, ", par", "c")},
+        ${ivfSearchSql("cents_2", ", par", "np", "TRUE")},
+        top AS (SELECT query_id, candidate_id, rank, sim FROM ranked WHERE rank <= 5)
+        SELECT t.query_id, t.candidate_id, t.rank,
+               CAST(CAST(round(t.sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim,
+               CAST(CASE WHEN b.query_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS mutual
+        FROM top t
+        LEFT JOIN top b ON b.query_id = t.candidate_id AND b.candidate_id = t.query_id
+        ORDER BY t.query_id, t.rank"""
 
   /** Scale-shaped k-means IVF oracle: C = max(16, ⌊√N⌋), np = max(2, ⌊C/12⌋),
     * two fixed-point Lloyd rounds, then the standard search. */
@@ -766,44 +794,9 @@ object SimilarityQueries {
                 CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
-    // The IVF pipeline with queries = corpus (probe has no vec_id filter),
-    // then the reversed-key self-join for the mutual flag.
-    "q_knn_graph" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-                    FROM embeddings),
-            nv AS (SELECT vec_id, ve,
-                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
-                   FROM v),
-            cents AS (SELECT vec_id AS cell_id, ve AS cv, vn AS cn
-                      FROM nv ORDER BY vec_id LIMIT 16),
-            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
-                            list_reduce(list_transform(range(1, len(n.ve) + 1),
-                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
-                            / c.cn AS csim
-                     FROM nv n CROSS JOIN cents c),
-            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
-                                    row_number() OVER (PARTITION BY vec_id
-                                                       ORDER BY csim DESC, cell_id) AS cr
-                             FROM asim),
-            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
-            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr <= 4),
-            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
-                             list_reduce(list_transform(range(1, len(p.ve) + 1),
-                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
-                             / (p.vn * a.vn) AS sim
-                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
-            ranked AS (SELECT query_id, candidate_id,
-                              row_number() OVER (PARTITION BY query_id
-                                                 ORDER BY sim DESC, candidate_id) AS rank,
-                              sim
-                       FROM pairs),
-            top AS (SELECT query_id, candidate_id, rank, sim FROM ranked WHERE rank <= 5)
-         SELECT t.query_id, t.candidate_id, t.rank,
-                CAST(CAST(round(t.sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim,
-                CAST(CASE WHEN b.query_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS mutual
-         FROM top t
-         LEFT JOIN top b ON b.query_id = t.candidate_id AND b.candidate_id = t.query_id
-         ORDER BY t.query_id, t.rank""",
+    // The √N-kmeans IVF pipeline with queries = corpus (probe predicate
+    // TRUE), then the reversed-key self-join for the mutual flag.
+    "q_knn_graph" -> knnGraphOracle,
     // Mirrors ivfTopK stage-for-stage: 16 lowest-id seed centroids, map-only
     // argmax assignment (ties → lowest cell), nprobe=4 probe cells per query,
     // in-cell cosine, distinct pair, rank ≤ 5. Fold orders match Spark's
