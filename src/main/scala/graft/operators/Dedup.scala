@@ -244,13 +244,17 @@ object Dedup {
                    autoBlockBound: Int = 1024): DataFrame = {
     val prepared0 = df.select(col(idCol).as("id"), blockExpr.as("block"),
       array_sort(TextFunctions.words(col(textCol))).as("w"))
-    if (PairCandidates.shouldCollapse(prepared0.select(jaccardContentKey.as("k"))))
+    if (PairCandidates.shouldCollapseBlocked(
+        prepared0.select(col("block"), xxhash64(struct(col("block"), col("w"))).as("k"))))
       jaccardPairsCollapsed(prepared0, threshold, autoBlockBound)
     else
       jaccardPairsDirect(prepared0, threshold, autoBlockBound)
   }
 
-  /** 16-byte content key of a (block, w) row — the collapse group identity. */
+  /** 16-byte content key of a (block, w) row — the collapse group identity.
+    * The PROBE above keys on a serialization-free xxhash64 of the same
+    * columns instead ([[Similarity.probeKey]] rationale): a distinct-ratio
+    * estimate tolerates 64-bit collisions, the collapse grouping does not. */
   private def jaccardContentKey: Column = md5(to_json(struct(col("block"), col("w"))))
 
   /** The ≥-threshold scoring stage shared by both strategies, over
@@ -281,10 +285,18 @@ object Dedup {
   }
 
   /** Direct formulation: every (id, block, w) row feeds the candidate stage
-    * itself — the right plan at dup ratio ≈ 1. */
+    * itself — the right plan when the collapse can't cut candidate volume.
+    * The tokenized projection is MATERIALIZED once (q_ngram_lm's measured
+    * lesson, [[graft.util.Snapshots]]): it feeds the maxBlockSize probe,
+    * the candidate stream and both prefix-path join-backs — separate
+    * actions/subtrees that would otherwise each re-run array_sort(words())
+    * over the corpus (measured at the 100× cipher tier: 284 s
+    * re-tokenizing vs 110 s materialized — the whole gap the jaccard
+    * collapse A/B exposed; at 100 TB: one tokenization pass, not four). */
   private[operators] def jaccardPairsDirect(prepared0: DataFrame, threshold: Double,
                                             autoBlockBound: Int): DataFrame =
-    jaccardScore(prepared0.withColumn("n", size(col("w"))), threshold, autoBlockBound)
+    jaccardScore(graft.util.Snapshots.snap(prepared0.withColumn("n", size(col("w")))),
+      threshold, autoBlockBound)
 
   /** Collapse formulation: group on the md5 content key, pair the reps,
     * re-expand through the (id, rep_id) membership map. */
@@ -292,9 +304,14 @@ object Dedup {
                                                autoBlockBound: Int): DataFrame = {
     val withK = prepared0.withColumn("k", jaccardContentKey)
     // every (block, w) in a group is identical (that's what the key means),
-    // so first() is deterministic in VALUE even though row order is not
-    val groups = withK.groupBy("k").agg(min(col("id")).as("rep_id"),
+    // so first() is deterministic in VALUE even though row order is not.
+    // Materialized once (the collapseExactDuplicates policy — reliable
+    // checkpoint when a checkpointDir is set): the maxBlockSize probe
+    // inside jaccardScore is a separate ACTION, and an unmaterialized
+    // groups would re-run the corpus scan + group shuffle for it.
+    val groups0 = withK.groupBy("k").agg(min(col("id")).as("rep_id"),
       first(col("block")).as("block"), first(col("w")).as("w"))
+    val groups = graft.util.Snapshots.snap(groups0)
     val members = withK.select(col("id"), col("k"))
       .join(groups.select(col("k"), col("rep_id")), Seq("k"))
       .select(col("id"), col("rep_id"))

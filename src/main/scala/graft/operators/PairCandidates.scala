@@ -126,9 +126,86 @@ object PairCandidates {
     * below the ≥2 of any genuinely clone-heavy tier. */
   val collapseDupFactorBound: Double = 1.25
 
-  /** The collapse-vs-direct strategy switch: probe + bound. */
-  def shouldCollapse(keyed: DataFrame): Boolean =
-    dupFactor(keyed) >= collapseDupFactorBound
+  /** The UNBLOCKED collapse-vs-direct switch (embedding family, where the
+    * blocks — quantizer cells — aren't known at probe time): clone
+    * amplification Σg²/N over content-key group sizes g. 1.0 on all-unique
+    * data; ≥ the dup factor always (Cauchy–Schwarz), and unlike the dup
+    * RATIO it keeps seeing concentration — a single 10 k-clone family in an
+    * otherwise-unique corpus reads ≈ 1.0 in the ratio but 10 k/N-heavy
+    * here. Clones co-assign (deterministic quantizer), so Σg² lower-bounds
+    * the in-cell pair amplification the collapse removes. One aggregate
+    * pass (groupBy k partial-aggregates map-side; clone-heavy inputs
+    * collapse before the wire), memoized like every other probe. */
+  def shouldCollapse(keyed: DataFrame): Boolean = {
+    val key = "amp#" + keyed.sparkSession.hashCode().toString + "#" +
+      keyed.queryExecution.analyzed.semanticHash().toString + "#" +
+      graft.util.DataFingerprint.of(keyed).toString
+    val scaled = memoizedStat(key) {
+      val r = keyed.groupBy("k").agg(count(lit(1)).as("g"))
+        .agg(sum(col("g") * col("g")), sum(col("g"))).head()
+      val s2 = r.getLong(0)
+      val n = math.max(r.getLong(1), 1L)
+      math.round(s2.toDouble / n * 1000.0)
+    }
+    scaled / 1000.0 >= 2.0
+  }
+
+  /** The BLOCKED collapse-vs-direct switch (jaccard / levenshtein): the
+    * measured cost model, not a dup ratio. Direct candidate volume is
+    * Σ_b P_b² (block populations), collapsed is Σ_b D_b² (distinct content
+    * rows per block) — collapse wins when the RATIO clears
+    * [[collapseVolumeRatioBound]] AND the absolute saving is worth the
+    * collapse's fixed passes ([[collapseVolumeFloor]] on Σ P_b²; at fixture
+    * scale the saved pair work is milliseconds while the group-agg + two
+    * membership joins cost whole extra corpus scans — measured r8: 1.4–1.6×
+    * sf0.1 overhead).
+    *
+    * The r9 A/B that motivated this (tools/ProbeJaccardAb, 100× cipher
+    * tier): global dup ratio 1.036 — the old ratio gate said direct — yet
+    * collapsed ran 109.7 s vs direct's 284.2 s, because clone mass
+    * concentrates in a few blocks (short-doc blocks where ciphered word
+    * sets collide) and candidate volume is quadratic PER BLOCK. Σ P_b² /
+    * Σ D_b² reads exactly that concentration. One memoized two-level
+    * aggregate over (block, k): clone rows partial-aggregate map-side;
+    * nothing data-sized reaches the driver. */
+  def shouldCollapseBlocked(keyed: DataFrame): Boolean = {
+    val key = "bvol#" + keyed.sparkSession.hashCode().toString + "#" +
+      keyed.queryExecution.analyzed.semanticHash().toString + "#" +
+      graft.util.DataFingerprint.of(keyed).toString
+    // pack the decision (not the raw stats) into the memo: Long 1 = collapse
+    val decision = memoizedStat(key) {
+      val perKey = keyed.groupBy("block", "k").agg(count(lit(1)).as("g"))
+      val perBlock = perKey.groupBy("block")
+        .agg(sum(col("g")).as("p"), count(lit(1)).as("dd"))
+      val r = perBlock.agg(
+        sum(col("p").cast("double") * col("p")).as("sp2"),
+        sum(col("dd").cast("double") * col("dd")).as("sd2")).head()
+      val sp2 = Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0d)
+      val sd2 = math.max(Option(r.get(1)).map(_.asInstanceOf[Double]).getOrElse(1d), 1d)
+      if (sp2 / sd2 >= collapseVolumeRatioBound && sp2 >= collapseVolumeFloor) 1L else 0L
+    }
+    decision == 1L
+  }
+
+  /** Ratio bound 1.05 — any REAL clone mass justifies the collapse once
+    * the volume floor is cleared, because the block-level model
+    * UNDERSTATES what clones cost the candidate paths: the PPJoin prefix
+    * path's (token, id) equi-join grows as Σ_t df_t² and exact-duplicate
+    * rows share every token, so the measured 100×-cipher A/B
+    * (tools/ProbeJaccardAb) ran collapsed 2.2× faster than direct (53.9 s
+    * vs 117.7 s, both with the tokenization materialized) at a modeled
+    * block-volume ratio of only 1.134. Below 1.05 the corpus is
+    * effectively clone-free and the collapse's group-agg + membership
+    * joins are pure overhead. */
+  val collapseVolumeRatioBound: Double = 1.05
+
+  /** ...and the direct volume must be big enough (≥ 5·10⁶ modeled pairs ≈
+    * tens of seconds of verify work) that the saving beats the collapse's
+    * fixed extra corpus passes. Scale-adaptive by construction: fixture
+    * tiers sit orders of magnitude below it, any real corpus orders above
+    * (the r8 finding this gate exists for — a 1.4–1.6× sf0.1 overhead —
+    * was precisely the fixed passes dominating at fixture volume). */
+  val collapseVolumeFloor: Double = 5e6
 
   /** Naive per-block all-pairs — correct and cheapest while the largest
     * block is small (pair count ≤ maxBlock²/2 per block, bounded). */

@@ -540,8 +540,20 @@ object Similarity {
     val withK = keyed.withColumn("k", md5(to_json(struct(col("v")))))
     // every v in a group is bit-identical (that's what the key means), so
     // first(v) is deterministic in VALUE even though row order is not
-    val groups = withK.groupBy("k")
+    val groups0 = withK.groupBy("k")
       .agg(min(col("id")).as("rep_id"), first(col("v")).as("rv"))
+    // Materialize the collapse aggregate ONCE (Components snapshot policy:
+    // reliable checkpoint when a checkpointDir is set, local otherwise).
+    // Downstream it feeds ≥ 3 separate ACTIONS (the maxBlockSize hot-cell
+    // probe, the pair-stage join sides, the membership expansions) —
+    // ReuseExchange dedups only within one action, so an unmaterialized
+    // groups would re-run the corpus scan + md5 + shuffle per action
+    // (measured: 3× the whole query's cost at the 100× tier). The frame is
+    // distinct-key-sized, and this path only runs when the dup-factor gate
+    // read the corpus as clone-heavy, so it is strictly smaller than the
+    // input; blocks are ContextCleaner-reclaimed when the caller drops the
+    // returned frames.
+    val groups = graft.util.Snapshots.snap(groups0)
     val reps = groups.select(col("rep_id").as("id"), col("rv").as("v"))
     val members = withK.select(col("id"), col("k"))
       .join(groups.select(col("k"), col("rep_id")), Seq("k"))
@@ -731,11 +743,20 @@ object Similarity {
                            numCentroids: Int = 16, nprobe: Int = 2,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    if (PairCandidates.shouldCollapse(keyed.select(md5(to_json(struct(col("v")))).as("k"))))
+    if (PairCandidates.shouldCollapse(keyed.select(probeKey(col("v")).as("k"))))
       cosineNearDuplicatesCollapsed(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
     else
       cosineNearDuplicatesDirect(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
   }
+
+  /** Cheap probe key for the dup-factor gate: xxhash64 straight over the
+    * columns (no serialization). The PROBE needs only a distinct-ratio
+    * estimate — approx_count_distinct is already ±5%, and a 64-bit
+    * collision moves the ratio by ~1/n — while the COLLAPSE itself keeps
+    * its md5 key for grouping (collision-safety is correctness there).
+    * Measured at the 200 k-vector 100× tier: the md5(to_json(...)) probe
+    * scan cost 4.2 s against xxhash64's sub-second. */
+  private[operators] def probeKey(cols: Column*): Column = xxhash64(struct(cols: _*))
 
   /** The always-collapse formulation — [[cosineNearDuplicates]]' clone-heavy
     * branch, kept callable so the output-invariance spec exercises it
@@ -809,7 +830,7 @@ object Similarity {
                          numCentroids: Int = 16, nprobe: Int = 2,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    if (PairCandidates.shouldCollapse(keyed.select(md5(to_json(struct(col("v")))).as("k"))))
+    if (PairCandidates.shouldCollapse(keyed.select(probeKey(col("v")).as("k"))))
       cosineNearDupEdgesCollapsed(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
     else
       cosineNearDuplicatesDirect(vectors, threshold, numCentroids, nprobe, idCol, vecCol)

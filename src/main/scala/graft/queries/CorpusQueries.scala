@@ -247,8 +247,7 @@ object CorpusQueries {
       .select(col("doc_id"),
         element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
-    val bi = if (s.sparkContext.getCheckpointDir.isDefined) bi0.checkpoint()
-             else bi0.localCheckpoint()
+    val bi = graft.util.Snapshots.snap(bi0)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val model = c2.join(c1, "w1")

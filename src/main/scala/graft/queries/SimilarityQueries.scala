@@ -662,12 +662,15 @@ object SimilarityQueries {
       col("doc_id").as("id"),
       substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
-    if (!PairCandidates.shouldCollapse(
-        docs0.select(md5(to_json(struct(col("block"), col("s")))).as("k"))))
+    if (!PairCandidates.shouldCollapseBlocked(
+        docs0.select(col("block"), xxhash64(struct(col("block"), col("s"))).as("k"))))
       return levRepPairs(docs0)
         .orderBy(col("lev"), col("id_a"), col("id_b"))
         .limit(50)
-    val groups = docs0.groupBy("block", "s").agg(min(col("id")).as("rep_id"))
+    // materialized once (collapseExactDuplicates policy): levRepPairs'
+    // maxBlockSize probe and the m51 membership join are separate actions
+    val groups = graft.util.Snapshots.snap(
+      docs0.groupBy("block", "s").agg(min(col("id")).as("rep_id")))
     val docs = groups.select(col("rep_id").as("id"), col("s"), col("block"))
     // per-group 51 smallest member ids — all an exact top-50 can ever use.
     // Bounded min-k aggregate (score = −id under the desc-ordered TopKAgg;

@@ -109,9 +109,20 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(PairCandidates.statsSize == before)
   }
 
+  test("blocked collapse gate: volume floor keeps fixture-scale corpora direct") {
+    PairCandidates.invalidateStats()
+    // maximally clone-heavy (one key, one block) but sp2 = 250 000 — far
+    // under the 5e6 floor: the collapse's fixed passes can't pay for
+    // themselves at this volume, so the gate must route direct
+    val tinyClones = (0 until 500).map(_ => ("b", "same")).toDF("block", "k")
+    assert(!PairCandidates.shouldCollapseBlocked(tinyClones))
+  }
+
   test("jaccard md5-key collapse is output-invariant vs the direct formulation") {
     // clone-heavy block: 3 families of 10 plus near-dups and singletons —
-    // the public dispatch picks collapse here (dup factor ≈ 50/23 > 1.25)
+    // at this fixture volume the blocked gate's floor routes the public
+    // dispatch DIRECT (sp2 ≪ 5e6); both formulations are output-equal, so
+    // the dispatched result must match whichever strategy runs
     val raw = (0 until 50).map { i =>
       if (i < 30) (i.toLong, jaccardText(1000 + i % 3)) // 3 clone families
       else if (i % 7 == 6) (i.toLong, jaccardText(i - 1) + " changed")
