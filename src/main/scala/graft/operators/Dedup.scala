@@ -242,8 +242,15 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double,
                    autoBlockBound: Int = 1024): DataFrame = {
-    val prepared0 = df.select(col(idCol).as("id"), blockExpr.as("block"),
-      array_sort(TextFunctions.words(col(textCol))).as("w"))
+    // Tokenize ONCE, before anything else (q_ngram_lm's measured lesson,
+    // [[graft.util.Snapshots]]): the gate probe, the maxBlockSize probe,
+    // the candidate stream and the prefix-path join-backs are all separate
+    // actions over this projection — unmaterialized, each would re-run
+    // array_sort(words(text)) over the corpus (the probe alone cost ~45 s
+    // of the 100× sweep's q_jaccard_pairs time).
+    val prepared0 = graft.util.Snapshots.snap(
+      df.select(col(idCol).as("id"), blockExpr.as("block"),
+        array_sort(TextFunctions.words(col(textCol))).as("w")))
     if (PairCandidates.shouldCollapseBlocked(
         prepared0.select(col("block"), xxhash64(struct(col("block"), col("w"))).as("k"))))
       jaccardPairsCollapsed(prepared0, threshold, autoBlockBound)
@@ -286,17 +293,12 @@ object Dedup {
 
   /** Direct formulation: every (id, block, w) row feeds the candidate stage
     * itself — the right plan when the collapse can't cut candidate volume.
-    * The tokenized projection is MATERIALIZED once (q_ngram_lm's measured
-    * lesson, [[graft.util.Snapshots]]): it feeds the maxBlockSize probe,
-    * the candidate stream and both prefix-path join-backs — separate
-    * actions/subtrees that would otherwise each re-run array_sort(words())
-    * over the corpus (measured at the 100× cipher tier: 284 s
-    * re-tokenizing vs 110 s materialized — the whole gap the jaccard
-    * collapse A/B exposed; at 100 TB: one tokenization pass, not four). */
+    * Callers pass an already-materialized projection (see [[jaccardPairs]];
+    * measured at the 100× cipher tier: 284 s re-tokenizing per consumer vs
+    * 110 s materialized — at 100 TB, one tokenization pass, not four). */
   private[operators] def jaccardPairsDirect(prepared0: DataFrame, threshold: Double,
                                             autoBlockBound: Int): DataFrame =
-    jaccardScore(graft.util.Snapshots.snap(prepared0.withColumn("n", size(col("w")))),
-      threshold, autoBlockBound)
+    jaccardScore(prepared0.withColumn("n", size(col("w"))), threshold, autoBlockBound)
 
   /** Collapse formulation: group on the md5 content key, pair the reps,
     * re-expand through the (id, rep_id) membership map. */

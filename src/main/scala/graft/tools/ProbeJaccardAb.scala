@@ -31,12 +31,22 @@ object ProbeJaccardAb {
       a
     }
     PairCandidates.invalidateStats()
-    time("direct") {
-      Dedup.jaccardPairsDirect(prepared0, threshold, 1024).count()
+    val snapped = time("snap(tokenized)") {
+      val s0 = graft.util.Snapshots.snap(prepared0); s0.count(); s0
     }
-    PairCandidates.invalidateStats()
-    time("collapsed") {
-      Dedup.jaccardPairsCollapsed(prepared0, threshold, 1024).count()
+    time("gate probe") {
+      PairCandidates.shouldCollapseBlocked(
+        snapped.select(col("block"), xxhash64(struct(col("block"), col("w"))).as("k")))
+    }
+    // alternate the strategies 3× each — single runs on a shared box are
+    // order-sensitive (page cache, JIT): report the full sequence
+    (1 to 3).foreach { i =>
+      time(s"direct#$i") {
+        Dedup.jaccardPairsDirect(snapped, threshold, 1024).count()
+      }
+      time(s"collapsed#$i") {
+        Dedup.jaccardPairsCollapsed(snapped, threshold, 1024).count()
+      }
     }
     spark.stop()
   }
