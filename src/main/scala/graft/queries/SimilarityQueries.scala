@@ -164,21 +164,27 @@ object SimilarityQueries {
   }
 
   /** k-NN GRAPH over the whole embedding corpus — every vector is a query
-    * against the shared IVF structure ([[Similarity.ivfTopK]] with
+    * against the shared IVF structure ([[Similarity.ivfTopKGrouped]] with
     * queries = corpus), emitting the directed top-5 edge list plus a
     * `mutual` flag (both endpoints in each other's top-5). The kNN graph is
     * the substrate of cluster-based curation (SemDeDup's cluster step,
     * graph-community dedup, diversity sampling); the mutual subgraph is its
     * standard symmetrized form.
     *
-    * Scale shape: one map-only assignment pass over the corpus (C
-    * centroids broadcast), candidate pairing meets only within probed
-    * cells (nprobe/C of the corpus per query — never all-pairs), ranking
-    * is the bounded TopKAgg (O(k) state per query, partial-aggregated
-    * map-side). The mutuality check is a self-join of the k·N edge list on
-    * its reversed key — (long, long) scalars, unique per side, no fan-out.
-    * Deterministic end-to-end (lowest-id seeds, tie-broken assignment and
-    * ranking), so the oracle mirrors the exact pipeline value-for-value. */
+    * Scale shape (r10 — the blocked kernel replacing the r9 `weak` plan):
+    * one map-only assignment pass over the corpus (C centroids broadcast),
+    * then BOTH sides shuffle once on cell id and meet in a per-cell
+    * cogroup, where each cell's candidates are packed into a flat primitive
+    * matrix and every query scores the whole block in one compiled loop
+    * (GEMV) keeping its per-cell top-5 — candidate work bounded at
+    * nprobe·√N per query and the wire carries Q·nprobe·5 rows, not scored
+    * pairs. Ranking stays the bounded TopKAgg merge. The mutuality check is
+    * a self-join of the k·N edge list on its reversed key — (long, long)
+    * scalars, unique per side, no fan-out. Deterministic end-to-end
+    * (lowest-id seeds, tie-broken assignment, TopKAgg-identical comparator
+    * in the kernel), so the oracle mirrors the exact pipeline
+    * value-for-value — output bit-identical to the r9 join-based plan
+    * (spec-pinned in SimilaritySpec). */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     // the SCALE shape, not the fixture constants: with every vector a
@@ -189,7 +195,7 @@ object SimilarityQueries {
     val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
     val np = math.max(2, c / 12)
     val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 2)
-    val edges = Similarity.ivfTopK(emb, emb, k = 5,
+    val edges = Similarity.ivfTopKGrouped(emb, emb, k = 5,
         numCentroids = c, nprobe = np, centroidsOverride = Some(refined))
       .select(col("query_id"), col("candidate_id"), col("rank"), col("sim"))
     val back = edges.select(col("query_id").as("b_q"), col("candidate_id").as("b_c"))
@@ -639,7 +645,7 @@ object SimilarityQueries {
     *
     * Exact-duplicate (block, prefix) rows collapse to their minimum-id
     * representative BEFORE candidate generation — COST-GATED (VERDICT r8
-    * #1) behind the memoized dup-factor probe
+    * #1) behind the measured volume-model gate
     * ([[graft.operators.PairCandidates.shouldCollapse]]): identical strings
     * share every q-gram, so a g-clone boilerplate family would inflate the
     * (block, gram) equi-join output by g² — the 1000×-tier ENOSPC — but at
@@ -662,26 +668,31 @@ object SimilarityQueries {
       col("doc_id").as("id"),
       substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
-    if (!PairCandidates.shouldCollapseBlocked(
-        docs0.select(col("block"), xxhash64(struct(col("block"), col("s"))).as("k"))))
-      return levRepPairs(docs0)
+    // ONE materialized probe pass (VERDICT r9 #2, the jaccardPairs
+    // discipline): the per-(block, s) skeleton — the 40-char prefix IS its
+    // own collision-safe content key — feeds the gate stats, both routes'
+    // largest-block probes, and (on collapse) the group table itself.
+    def buildSkeleton() = graft.util.Snapshots.snap(
+      docs0.groupBy("block", "s").agg(count(lit(1)).as("g"),
+        min(col("id")).as("rep_id")))
+    val (stats, skel) = PairCandidates.blockedStatsFor(
+      docs0.select(col("block"), col("s").as("k")), buildSkeleton _)
+    if (!stats.collapse)
+      return levRepPairs(docs0, Some(stats.maxBlockRows))
         .orderBy(col("lev"), col("id_a"), col("id_b"))
         .limit(50)
-    // materialized once (collapseExactDuplicates policy): levRepPairs'
-    // maxBlockSize probe and the m51 membership join are separate actions
-    val groups = graft.util.Snapshots.snap(
-      docs0.groupBy("block", "s").agg(min(col("id")).as("rep_id")))
+    val groups = skel.getOrElse(buildSkeleton())
     val docs = groups.select(col("rep_id").as("id"), col("s"), col("block"))
     // per-group 51 smallest member ids — all an exact top-50 can ever use.
     // Bounded min-k aggregate (score = −id under the desc-ordered TopKAgg;
     // ids ≤ 2^53 so the double negation is exact), not a window.
-    val m51 = docs0.join(groups, Seq("block", "s"))
+    val m51 = docs0.join(groups.select("block", "s", "rep_id"), Seq("block", "s"))
       .select(col("id"), col("rep_id"))
       .groupBy("rep_id")
       .agg(graft.functions.TopKAgg.top_k(51)(col("id"), -col("id").cast("double")).as("top"))
       .select(col("rep_id"), explode(col("top")).as("t"))
       .select(col("t.id").as("id"), col("rep_id"))
-    val repLev = levRepPairs(docs)
+    val repLev = levRepPairs(docs, Some(stats.maxBlockReps))
     // cross-group expansion (ids interleave across groups → re-normalize);
     // within-group pairs are exact clones: lev = 0 by identity
     val cross = repLev
@@ -708,9 +719,11 @@ object SimilarityQueries {
     * its candidates stream straight into the DP with both prefixes
     * carried — no ids-only pair shuffle, no join-back. Both paths are
     * lossless. */
-  private def levRepPairs(docs: DataFrame): DataFrame = {
+  private def levRepPairs(docs: DataFrame,
+                          maxBlock: Option[Long] = None): DataFrame = {
     import graft.operators.PairCandidates
-    if (PairCandidates.maxBlockSize(docs) <= 1024) {
+    val mb = maxBlock.getOrElse(PairCandidates.maxBlockSize(docs))
+    if (mb <= 1024) {
       val a = docs.select(col("block"), col("id").as("id_a"), col("s").as("p_a"))
       val b = docs.select(col("block"), col("id").as("id_b"), col("s").as("p_b"))
       a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))

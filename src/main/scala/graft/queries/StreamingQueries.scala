@@ -33,19 +33,50 @@ import org.apache.spark.sql.streaming.Trigger
   * diverging the hash gate. */
 object StreamingQueries {
 
+  /** Raw events schema per tier path, memoized (VERDICT r9 #3a): every
+    * declared entry needs the file source's explicit schema, and a bench
+    * session invokes the six entries ×3 runs each — 18 full batch
+    * `spark.read.parquet(...).schema` footer reads per capture when one
+    * per tier suffices. Bounded (tier paths, not data); schema changes
+    * require a new path in this repo's layout, so no staleness key is
+    * needed. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Events table as a file STREAM with the batch reader's schema and ts
     * normalization. The file source needs an explicit schema and a
     * directory or glob — driver tiers store events.parquet as a single
     * file, so spell that case as a single-file-matching glob (derived
     * tiers are directories and pass through). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    if (schemaMemo.size() > 64) schemaMemo.clear()
+    val rawSchema = schemaMemo.computeIfAbsent(s"$d/events.parquet",
+      p => s.read.parquet(p).schema)
     val srcPath =
       if (new java.io.File(s"$d/events.parquet").isDirectory) s"$d/events.parquet"
       else s"$d/events.parque[t]"
     graft.util.Tables.normalizeEventTs(
       s.readStream.schema(rawSchema).parquet(srcPath), "ts")
   }
+
+  /** State-store provider for the declared entries (VERDICT r9 #3b,
+    * measured A/B in SCALING.md r10): None = Spark's default
+    * HDFSBackedStateStoreProvider — chosen here because it holds every
+    * key's state on-heap with zero native overhead and the declared
+    * entries' state is small at every bench tier — while a REAL 100 TB
+    * deployment with big-state queries (stream-stream joins, wide session
+    * windows) should flip this to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * (spillable off-heap state, incremental snapshots; classloads and runs
+    * hash-identical here — see [[graft.tools.ProbeStateStore]] and the
+    * SCALING.md table for the measured cost of each at two tiers).
+    * Overridable per run via SPARK_GRAFT_STATESTORE=rocksdb|default. */
+  private def stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => None
+    }
 
   /** Run a streaming aggregate to a parquet sink under AvailableNow and
     * read the sink back. Sink and checkpoint live in temp dirs registered
@@ -59,6 +90,8 @@ object StreamingQueries {
       java.nio.file.Files.createTempDirectory("graft_stream_out")).toString
     val ckpt = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    stateStoreProvider.foreach(s.conf.set(providerKey, _))
     val q = agg.writeStream
       .format("parquet")
       .option("path", out)
@@ -183,7 +216,8 @@ object StreamingQueries {
     * output) and whatever the batch split — this entry needs neither the
     * single-batch pin nor an emit rule (dedup emits first occurrences
     * immediately; append mode needs no watermark). State is O(distinct
-    * keys) — the exact-dedup contract; the horizon-bounded variant
+    * keys) — the exact-dedup contract; the horizon-bounded variant is the
+    * declared [[streamDedupKeysWithinWatermark]] sibling; the raw-pipeline
     * (`dropDuplicatesWithinWatermark`, trading exactness past the horizon
     * for bounded state at 100 TB) is covered by
     * [[graft.streaming.StreamPipeline.dedupStream]]'s spec. */
@@ -191,6 +225,27 @@ object StreamingQueries {
     val dedup = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
+    runAvailableNow(dedup, s).orderBy("user_id", "event_type")
+  }
+
+  /** readStream(events) → `dropDuplicatesWithinWatermark(user_id,
+    * event_type)` → keys-only projection → parquet sink — the
+    * HORIZON-BOUNDED dedup through `StreamingDeduplicateWithinWatermarkExec`
+    * (VERDICT r9 #6): the variant a 100 TB stream actually runs, because
+    * its state evicts keys older than the watermark instead of growing with
+    * the distinct-key count forever ([[streamDedupKeys]]' exact sibling).
+    * Determinism: the final select keeps only the dedup KEYS, so whichever
+    * physical row arrived first per key, the sink is the distinct key set;
+    * and under the single-batch pin ([[runAvailableNow]]'s assertion) no
+    * key can expire mid-stream and re-emit — the initial watermark is 0
+    * while the whole file is processed — so the oracle is plain DISTINCT,
+    * exactly first-occurrence-per-key-within-horizon semantics. */
+  def streamDedupKeysWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    val dedup = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
     runAvailableNow(dedup, s).orderBy("user_id", "event_type")
   }
 
@@ -231,6 +286,7 @@ object StreamingQueries {
     "q_stream_sessions" -> (streamSessionCounts _),
     "q_stream_join" -> (streamClickAttribution _),
     "q_stream_dedup" -> (streamDedupKeys _),
+    "q_stream_dedup_wm" -> (streamDedupKeysWithinWatermark _),
     "q_stream_totals" -> (streamRunningTotals _))
 
   val oracle: Map[String, String] = Map(
@@ -305,6 +361,11 @@ object StreamingQueries {
     // keys-only projection: distinct key set, no emit rule / batch-split
     // sensitivity (see streamDedupKeys doc)
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
+    // horizon-bounded dedup, keys-only projection: under the single-batch
+    // pin (initial watermark 0, nothing expires mid-stream) the emitted
+    // first-occurrences-per-key are exactly the distinct key set
+    "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
     // single-batch read → the emitted running totals ARE the final totals
     "q_stream_totals" ->

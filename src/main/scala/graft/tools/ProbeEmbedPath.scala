@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{PairCandidates, Similarity}
 
 /** Dev probe: stage-level wall times for q_embed_neardup's machinery at a
-  * tier — the dup-factor probe, the collapsed formulation, and the direct
-  * formulation — to attribute regressions to the stage that causes them.
+  * tier — the clone-amplification gate (the aggregate the dispatch
+  * actually runs — ADVICE r9: this used to time the retired dupFactor
+  * probe, so regression attribution landed on a stage the query never
+  * executes), the collapsed formulation, and the direct formulation.
   *
   * Usage: graft_run.sh graft.tools.ProbeEmbedPath <sfDir>
   */
@@ -29,11 +31,11 @@ object ProbeEmbedPath {
     val keyed = emb.select(col("vec_id").as("id"),
       Similarity.toDouble(col("embedding")).as("v"))
     PairCandidates.invalidateStats()
-    time("dup-factor probe (cold)") {
-      PairCandidates.dupFactor(keyed.select(Similarity.probeKey(col("v")).as("k")))
+    time("amp gate (cold)") {
+      PairCandidates.shouldCollapse(keyed.select(Similarity.probeKey(col("v")).as("k")))
     }
-    time("dup-factor probe (memoized)") {
-      PairCandidates.dupFactor(keyed.select(Similarity.probeKey(col("v")).as("k")))
+    time("amp gate (memoized)") {
+      PairCandidates.shouldCollapse(keyed.select(Similarity.probeKey(col("v")).as("k")))
     }
     PairCandidates.invalidateStats()
     time("dispatched COLD (probe + path)") {

@@ -118,6 +118,48 @@ class PairCandidatesSpec extends AnyFunSuite {
     assert(!PairCandidates.shouldCollapseBlocked(tinyClones))
   }
 
+  test("gate routing is pinned on both fixture shapes (VERDICT r9 #5)") {
+    PairCandidates.invalidateStats()
+    import spark.implicits._
+    // clone-light but over the volume floor (one 3000-row block, all keys
+    // distinct): sp2 = 9e6 ≥ floor but ratio = 1 < 1.05 → must route DIRECT.
+    // A threshold edit that re-introduces the r8 unconditional collapse
+    // (or drops the ratio bound) fails here.
+    val uniq = (0 until 3000).map(i => ("b", s"u$i", i.toLong)).toDF("block", "k", "id")
+    def skel(df: org.apache.spark.sql.DataFrame)() = graft.util.Snapshots.snap(
+      df.groupBy("block", "k").agg(count(lit(1)).as("g"), min(col("id")).as("rep_id")))
+    val (stUniq, skUniq) = PairCandidates.blockedStatsFor(uniq.select("block", "k"), skel(uniq))
+    assert(!stUniq.collapse, "clone-light over-floor corpus must route direct")
+    assert(stUniq.maxBlockRows == 3000L && stUniq.maxBlockReps == 3000L)
+    assert(skUniq.nonEmpty, "memo miss must hand back the built skeleton")
+    // clone-heavy over the floor (same volume, 100 distinct keys):
+    // ratio = 9e6 / 1e4 = 900 → must route COLLAPSE. A threshold edit that
+    // disables the collapse for genuinely clone-heavy corpora fails here.
+    val clones = (0 until 3000).map(i => ("b", s"c${i % 100}", i.toLong)).toDF("block", "k", "id")
+    val (stClones, _) = PairCandidates.blockedStatsFor(clones.select("block", "k"), skel(clones))
+    assert(stClones.collapse, "clone-heavy over-floor corpus must route collapse")
+    assert(stClones.maxBlockRows == 3000L && stClones.maxBlockReps == 100L)
+    // memo hit: stats return without rebuilding the skeleton
+    val (stAgain, skAgain) = PairCandidates.blockedStatsFor(clones.select("block", "k"),
+      () => fail("memo hit must not rebuild the skeleton"))
+    assert(stAgain == stClones && skAgain.isEmpty)
+  }
+
+  test("gates route empty inputs direct instead of throwing (ADVICE r9)") {
+    PairCandidates.invalidateStats()
+    import spark.implicits._
+    val emptyK = Seq.empty[String].toDF("k")
+    assert(!PairCandidates.shouldCollapse(emptyK)) // was: NPE on null sum
+    val emptyBlocked = Seq.empty[(String, String, Long)].toDF("block", "k", "id")
+    val (st, _) = PairCandidates.blockedStatsFor(emptyBlocked.select("block", "k"),
+      () => graft.util.Snapshots.snap(
+        emptyBlocked.groupBy("block", "k").agg(count(lit(1)).as("g"))))
+    assert(!st.collapse && st.maxBlockRows == 0L && st.maxBlockReps == 0L)
+    // ... and the empty-input similarity operators return empty, not crash
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDuplicates(emptyVecs, 0.5).count() == 0L)
+  }
+
   test("jaccard md5-key collapse is output-invariant vs the direct formulation") {
     // clone-heavy block: 3 families of 10 plus near-dups and singletons —
     // at this fixture volume the blocked gate's floor routes the public

@@ -46,6 +46,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
   }
 
+  test("blocked per-cell kernel (ivfTopKGrouped) is bit-identical to the join path") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val np = math.max(2, c / 12)
+    val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    // the knnGraph regime: queries = corpus, √N cells
+    val joinPath = rows(Similarity.ivfTopK(emb, emb, k = 5,
+      numCentroids = c, nprobe = np, centroidsOverride = Some(refined)))
+    val blocked = rows(Similarity.ivfTopKGrouped(emb, emb, k = 5,
+      numCentroids = c, nprobe = np, centroidsOverride = Some(refined)))
+    assert(blocked == joinPath, {
+      val d1 = joinPath.toSet -- blocked.toSet
+      val d2 = blocked.toSet -- joinPath.toSet
+      s"blocked kernel diverged: only-join=${d1.take(5)} only-blocked=${d2.take(5)}"
+    })
+    // tie fixture: exact clone vectors force equal sims — the kernel's
+    // comparator must break ties exactly like TopKAgg (lowest id first)
+    val base = (0L until 24L).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)
+      (i, v)
+    }
+    val clones = Seq((100L, base(3)._2.clone()), (101L, base(3)._2.clone()))
+    val tied = (base ++ clones).toDF("vec_id", "embedding")
+    val j2 = rows(Similarity.ivfTopK(tied, tied, k = 3, numCentroids = 4, nprobe = 2))
+    val b2 = rows(Similarity.ivfTopKGrouped(tied, tied, k = 3, numCentroids = 4, nprobe = 2))
+    assert(b2 == j2)
+  }
+
   test("k-means-refined centroids keep or improve IVF recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 8)
