@@ -235,41 +235,47 @@ object Dedup {
     * naive-vs-filtered equality fixtures plant exact duplicate texts;
     * DedupSpec additionally pins collapsed ≡ direct.
     *
-    * ONE materialized probe pass (VERDICT r9 #2, replacing r9's
-    * probe-aggregate + unconditional corpus snap): the per-(block, key)
-    * group SKELETON — count, min id, one rep word array per distinct
-    * (block, w) — is snapshotted once and serves (a) the gate statistics,
-    * (b) both routes' largest-block strategy probes, and (c) on the
-    * collapse route, the collapse's own group table, so the grouping that
-    * was previously computed twice is computed once and nothing
-    * corpus-sized is materialized at all. EAGER at construction (see
-    * [[PairCandidates.blockedStatsFor]]); the direct all-pairs route then
-    * runs as a single action over the lazily re-tokenized projection (no
-    * snap — the one-consumer case), the direct prefix route snapshots the
-    * projection (multi-action), and the collapse route reads rep arrays
-    * straight from the skeleton.
+    * ONE tokenization pass, ONE probe pass (VERDICT r9 #2, measured across
+    * r8–r10 at the 1000× cipher tier): tokenize + sort + content-key the
+    * corpus exactly once into a materialized (id, block, w, k) projection
+    * — every downstream consumer (the skeleton group-agg, the membership
+    * join, the pair stage) reads that snapshot, because a tokenize+md5
+    * pass at 5 M docs costs hundreds of seconds and paying it per consumer
+    * is the dominant regression mode at this tier. The per-(block, k)
+    * group SKELETON built from it then serves (a) the gate statistics,
+    * (b) both routes' largest-block strategy probes — no separate
+    * maxBlockSize jobs — and (c) on the collapse route, the collapse's own
+    * group table, so the grouping r9 computed twice (probe + collapse) is
+    * computed once (SCALING.md r10 records the tier A/B). EAGER at
+    * construction (see [[PairCandidates.blockedStatsFor]]'s documented
+    * contract).
     *
     * Collapse keys are md5(block, w) content hashes, not the word arrays
     * themselves, so the group agg and the membership join shuffle scalars
-    * — word arrays cross the wire once, on the skeleton's rep rows (the
-    * module's shuffles-never-carry-documents discipline). */
+    * — word arrays cross the wire once, inside the materialized projection
+    * and the skeleton's rep rows (the module's
+    * shuffles-never-carry-documents discipline). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockExpr: Column, threshold: Double,
                    autoBlockBound: Int = 1024): DataFrame = {
-    val keyed0 = df.select(col(idCol).as("id"), blockExpr.as("block"),
-        array_sort(TextFunctions.words(col(textCol))).as("w"))
-      .withColumn("k", jaccardContentKey)
+    val full = graft.util.Snapshots.snap(
+      df.select(col(idCol).as("id"), blockExpr.as("block"),
+          array_sort(TextFunctions.words(col(textCol))).as("w"))
+        .withColumn("k", jaccardContentKey))
     def buildSkeleton() = graft.util.Snapshots.snap(
-      keyed0.groupBy("block", "k").agg(count(lit(1)).as("g"),
+      full.groupBy("block", "k").agg(count(lit(1)).as("g"),
         min(col("id")).as("rep_id"), first(col("w")).as("w")))
     val (stats, skel) =
-      PairCandidates.blockedStatsFor(keyed0.select("block", "k"), buildSkeleton _)
+      PairCandidates.blockedStatsFor(full.select("block", "k"), buildSkeleton _)
     if (stats.collapse)
-      jaccardPairsCollapsedFrom(keyed0, skel.getOrElse(buildSkeleton()),
+      jaccardPairsCollapsedFrom(full, skel.getOrElse(buildSkeleton()),
         threshold, autoBlockBound, Some(stats.maxBlockReps))
     else
-      jaccardPairsDirect(keyed0.select("id", "block", "w"), threshold,
-        autoBlockBound, Some(stats.maxBlockRows))
+      // the projection is already materialized — call the score stage
+      // straight (jaccardPairsDirect's own snap logic exists for callers
+      // handing it a LAZY projection, e.g. the spec compat path)
+      jaccardScore(full.select("id", "block", "w").withColumn("n", size(col("w"))),
+        threshold, autoBlockBound, Some(stats.maxBlockRows))
   }
 
   /** 16-byte content key of a (block, w) row — the collapse group identity.

@@ -180,6 +180,46 @@ object PairCandidates {
     new java.util.concurrent.ConcurrentHashMap[String, BlockedStats]()
   private[operators] def blockedMemoSize: Int = blockedMemo.size()
 
+  /** [[BlockedStats]] from an UNMATERIALIZED per-(block, k) skeleton plan
+    * (columns `block`, `g`) — one aggregate job to a single driver row, no
+    * write. The companion of [[blockedStatsFor]] for operators whose
+    * skeleton subplan is CHEAP to re-run (e.g. levenshtein's 40-char
+    * prefix grouping): on the direct route nothing is materialized at all,
+    * and a collapse route re-runs the (cheap) grouping once when it
+    * snapshots the skeleton for real. Operators whose skeleton subplan is
+    * expensive (jaccard: corpus tokenize + md5) use [[blockedStatsFor]]
+    * instead, where the materialization is the probe. Memoized under the
+    * same key discipline. */
+  def blockedStatsProbe(keyed: DataFrame, skeletonPlan: DataFrame): BlockedStats = {
+    val key = "bstat#" + keyed.sparkSession.hashCode().toString + "#" +
+      keyed.queryExecution.analyzed.semanticHash().toString + "#" +
+      graft.util.DataFingerprint.of(keyed).toString
+    val hit = blockedMemo.get(key)
+    if (hit != null) hit
+    else {
+      if (blockedMemo.size() >= statsCap) blockedMemo.clear()
+      val st = statsOf(skeletonPlan)
+      blockedMemo.put(key, st)
+      st
+    }
+  }
+
+  /** The shared per-block aggregate behind both stats entries. */
+  private def statsOf(skeleton: DataFrame): BlockedStats = {
+    val r = skeleton.groupBy("block")
+      .agg(sum(col("g").cast("double")).as("p"), count(lit(1)).as("dd"))
+      .agg(sum(col("p") * col("p")).as("sp2"),
+        sum(col("dd").cast("double") * col("dd")).as("sd2"),
+        max(col("p")).as("maxp"), max(col("dd")).as("maxd")).head()
+    val sp2 = Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0d)
+    val sd2 = math.max(Option(r.get(1)).map(_.asInstanceOf[Double]).getOrElse(1d), 1d)
+    val maxP = Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(0d)
+    val maxD = Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    BlockedStats(
+      sp2 / sd2 >= collapseVolumeRatioBound && sp2 >= collapseVolumeFloor,
+      math.round(maxP), maxD)
+  }
+
   /** Compute (or recall) [[BlockedStats]] for `keyed` (columns `block`,
     * `k`), where `build` materializes the per-(block, k) skeleton — a
     * Snapshots-materialized frame with at least (block, g = rows per key);
@@ -209,18 +249,7 @@ object PairCandidates {
     else {
       if (blockedMemo.size() >= statsCap) blockedMemo.clear()
       val skel = build()
-      val r = skel.groupBy("block")
-        .agg(sum(col("g").cast("double")).as("p"), count(lit(1)).as("dd"))
-        .agg(sum(col("p") * col("p")).as("sp2"),
-          sum(col("dd").cast("double") * col("dd")).as("sd2"),
-          max(col("p")).as("maxp"), max(col("dd")).as("maxd")).head()
-      val sp2 = Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0d)
-      val sd2 = math.max(Option(r.get(1)).map(_.asInstanceOf[Double]).getOrElse(1d), 1d)
-      val maxP = Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(0d)
-      val maxD = Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val st = BlockedStats(
-        sp2 / sd2 >= collapseVolumeRatioBound && sp2 >= collapseVolumeFloor,
-        math.round(maxP), maxD)
+      val st = statsOf(skel)
       blockedMemo.put(key, st)
       (st, Some(skel))
     }

@@ -668,20 +668,24 @@ object SimilarityQueries {
       col("doc_id").as("id"),
       substring(col("text"), 1, 40).as("s"),
       concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("block"))
-    // ONE materialized probe pass (VERDICT r9 #2, the jaccardPairs
-    // discipline): the per-(block, s) skeleton — the 40-char prefix IS its
-    // own collision-safe content key — feeds the gate stats, both routes'
-    // largest-block probes, and (on collapse) the group table itself.
-    def buildSkeleton() = graft.util.Snapshots.snap(
-      docs0.groupBy("block", "s").agg(count(lit(1)).as("g"),
-        min(col("id")).as("rep_id")))
-    val (stats, skel) = PairCandidates.blockedStatsFor(
-      docs0.select(col("block"), col("s").as("k")), buildSkeleton _)
+    // ONE probe pass (VERDICT r9 #2): the per-(block, s) skeleton plan —
+    // the 40-char prefix IS its own collision-safe content key — feeds the
+    // gate stats AND both routes' largest-block probes in a single
+    // aggregate job, replacing r9's separate gate + maxBlockSize actions.
+    // The LAZY variant ([[PairCandidates.blockedStatsProbe]]): a 40-char
+    // substring grouping is cheap to re-run, so the direct route (the
+    // measured norm — dup ratio ≈ 1 on every standard tier) materializes
+    // nothing, and only a collapse route pays the grouping again when it
+    // snapshots the skeleton as its group table.
+    val skeletonPlan = docs0.groupBy("block", "s").agg(count(lit(1)).as("g"),
+      min(col("id")).as("rep_id"))
+    val stats = PairCandidates.blockedStatsProbe(
+      docs0.select(col("block"), col("s").as("k")), skeletonPlan)
     if (!stats.collapse)
       return levRepPairs(docs0, Some(stats.maxBlockRows))
         .orderBy(col("lev"), col("id_a"), col("id_b"))
         .limit(50)
-    val groups = skel.getOrElse(buildSkeleton())
+    val groups = graft.util.Snapshots.snap(skeletonPlan)
     val docs = groups.select(col("rep_id").as("id"), col("s"), col("block"))
     // per-group 51 smallest member ids — all an exact top-50 can ever use.
     // Bounded min-k aggregate (score = −id under the desc-ordered TopKAgg;

@@ -123,6 +123,25 @@ object StreamingQueries {
     runAvailableNow(agg, s).orderBy("window_start", "event_type")
   }
 
+  /** readStream(events) → 10-min watermark → SLIDING 1-hour windows every
+    * 15 minutes per event_type → parquet sink — the overlapping-window
+    * mode the tumbling ([[streamHourlyCounts]]) and session
+    * ([[streamSessionCounts]]) entries don't cover: each event lands in
+    * 1 h / 15 min = 4 windows (state is 4× the tumbling entry's — the
+    * sliding-window cost model at any scale), starts aligned to the
+    * epoch 15-minute grid. Emit rule as the tumbling twin: append emits
+    * windows whose END ≤ the final watermark. */
+  def streamSlidingCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+    runAvailableNow(agg, s).orderBy("window_start", "event_type")
+  }
+
   /** STREAM-STATIC dimension enrichment — the canonical production shape
     * the other entries don't cover: a watermarked event stream inner-joins
     * a BATCH dimension table (customer, keyed user_id = c_custkey) inside
@@ -282,6 +301,7 @@ object StreamingQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (streamHourlyCounts _),
+    "q_stream_sliding" -> (streamSlidingCounts _),
     "q_stream_enrich" -> (streamStaticEnrich _),
     "q_stream_sessions" -> (streamSessionCounts _),
     "q_stream_join" -> (streamClickAttribution _),
@@ -297,6 +317,20 @@ object StreamingQueries {
       """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
               b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type
                     FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS cnt
+         FROM b, m
+         GROUP BY ws, event_type, mx
+         HAVING ws + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+         ORDER BY 1, 2""",
+    // sliding windows: each event belongs to the 4 epoch-grid-aligned
+    // 15-min-slide windows covering it (start = 900 s grid floor − k·900,
+    // k = 0..3); same emit rule as the tumbling twin
+    "q_stream_sliding" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+              b AS (SELECT to_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k) * 900)
+                             AS ws, event_type
+                    FROM events, (VALUES (0),(1),(2),(3)) k(k))
          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS cnt
          FROM b, m

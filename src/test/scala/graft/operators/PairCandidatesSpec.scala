@@ -143,6 +143,14 @@ class PairCandidatesSpec extends AnyFunSuite {
     val (stAgain, skAgain) = PairCandidates.blockedStatsFor(clones.select("block", "k"),
       () => fail("memo hit must not rebuild the skeleton"))
     assert(stAgain == stClones && skAgain.isEmpty)
+    // the LAZY probe variant (no materialization) must read the same stats
+    PairCandidates.invalidateStats()
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("block", "k").agg(count(lit(1)).as("g"), min(col("id")).as("rep_id"))
+    val pUniq = PairCandidates.blockedStatsProbe(uniq.select("block", "k"), plan(uniq))
+    val pClones = PairCandidates.blockedStatsProbe(clones.select("block", "k"), plan(clones))
+    assert(pUniq == stUniq && pClones == stClones,
+      s"lazy probe diverged from materialized stats: $pUniq / $pClones")
   }
 
   test("gates route empty inputs direct instead of throwing (ADVICE r9)") {
