@@ -37,4 +37,45 @@ object Sampling {
     val bound = (fraction * Long.MaxValue).toLong
     df.filter(abs(xxhash64(lit(seed), uniqueCol)) < bound)
   }
+
+  /** Deterministic MIXTURE sampler with epoch upsampling — the data-recipe
+    * step of a training run (cf. the published Pile / LLaMA corpus
+    * recipes): given per-group target weights (per-mille) and a global row
+    * `budget`, each group g with `avail_g` rows and target
+    * `t_g = budget·w_g/1000` contributes
+    *
+    *   - every row repeated `⌊t_g / avail_g⌋` times (full epochs — the
+    *     UPSAMPLING case: a high-weight minority source is replicated), plus
+    *   - the affine-permutation-selected `≈ t_g mod avail_g` remainder rows
+    *     once more (the same engine-portable integer arithmetic as the
+    *     stratified sampler: bucket = ((id mod p)·15485863 + 17 mod p)
+    *     mod 10⁴, kept while bucket < rate — counts are rate-exact to
+    *     1/10⁴, the scale-true contract; an exact-count variant would need
+    *     a per-group rank over data-sized groups).
+    *
+    * Output rows carry `epoch` (0-based repetition index), making the
+    * repetition explicit for downstream shuffling/packing. Downsampling is
+    * the degenerate case (0 full epochs + remainder selection).
+    *
+    * Scale shape: ONE catalog-bounded aggregate (group → avail, collected
+    * to the driver like the IVF centroid tables) and then a map-only
+    * filter + bounded row-local replication — no data shuffle at all; the
+    * explode is ≤ ⌈t_g/avail_g⌉ per row. Deterministic under any layout
+    * (pure function of id), so it is oracle-checkable value-for-value. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    weightsPerMille: Map[String, Long], defaultPerMille: Long,
+                    budget: Long): DataFrame = {
+    val M = 2147483647L
+    val avail = df.groupBy(groupCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def target(g: String) = budget * weightsPerMille.getOrElse(g, defaultPerMille) / 1000L
+    val epochsMap = avail.map { case (g, a) => g -> target(g) / a }
+    val remRateMap = avail.map { case (g, a) => g -> (target(g) % a) * 10000L / a }
+    if (avail.isEmpty) return df.withColumn("epoch", lit(0L)).limit(0)
+    val bp = pmod(pmod(col(idCol), lit(M)) * lit(15485863L) + lit(17L), lit(M)) % 10000L
+    val n = element_at(typedlit(epochsMap), col(groupCol)) +
+      when(bp < element_at(typedlit(remRateMap), col(groupCol)), 1L).otherwise(0L)
+    df.withColumn("epoch", explode(
+      when(n > 0, sequence(lit(0L), n - 1)).otherwise(array().cast("array<bigint>"))))
+  }
 }

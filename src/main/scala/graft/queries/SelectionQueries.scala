@@ -133,13 +133,61 @@ object SelectionQueries {
       .orderBy("source", "split")
   }
 
+  /** Source-mixture sampling with epoch upsampling, declared
+    * ([[graft.operators.Sampling.mixtureSample]]): resample the corpus to
+    * a target LANGUAGE mixture (en 50 %, es 30 %, 6.6 % each remaining
+    * lang) under a budget of one corpus-size of rows — the data-recipe
+    * step that turns a raw crawl into a training mix. On this corpus the
+    * three regimes all fire: en (41 % avail → 50 % target) repeats
+    * fractionally (epoch 1 for the selected remainder), es (15 % → 30 %)
+    * upsamples through 2 full epochs, the other langs downsample.
+    * Deterministic affine-bucket selection, zero data shuffle (one
+    * catalog-bounded count agg); output rolled up per (lang, epoch) so
+    * the oracle hashes the audit table, not a corpus-sized replica. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val budget = docs.count()
+    graft.operators.Sampling
+      .mixtureSample(docs, "lang", "doc_id",
+        Map("en" -> 500L, "es" -> 300L), defaultPerMille = 66L, budget = budget)
+      .groupBy("lang", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "epoch")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
     "q_split_assign"    -> (splitAssign _),
+    "q_mixture_sample"  -> (mixtureSample _),
   )
 
   val oracle: Map[String, String] = Map(
+    // mixture sampler: per-lang target = budget·w/1000 (integer), full
+    // epochs = target // avail, remainder via the shared affine bucket;
+    // range(0, n) is empty at n <= 0, dropping unselected rows
+    "q_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+              st AS (SELECT lang, CAST(count(*) AS BIGINT) AS avail FROM d GROUP BY lang),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS budget FROM d),
+              par AS (SELECT lang, avail,
+                             (budget * (CASE WHEN lang = 'en' THEN 500
+                                             WHEN lang = 'es' THEN 300
+                                             ELSE 66 END)) // 1000 AS t
+                      FROM st, tot),
+              par2 AS (SELECT lang, t // avail AS epochs,
+                              ((t % avail) * 10000) // avail AS remrate
+                       FROM par),
+              sel AS (SELECT doc_id, d.lang,
+                             epochs + CASE WHEN (((doc_id % 2147483647) * 15485863 + 17)
+                                                 % 2147483647) % 10000 < remrate
+                                           THEN 1 ELSE 0 END AS n
+                      FROM d JOIN par2 ON d.lang = par2.lang),
+              ex AS (SELECT doc_id, lang, unnest(range(0, n)) AS epoch FROM sel)
+         SELECT lang, CAST(epoch AS BIGINT) AS epoch,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM ex GROUP BY lang, epoch ORDER BY lang, epoch""",
     "q_bm25" ->
       """WITH dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
                             string_split(text, ' ') AS ws

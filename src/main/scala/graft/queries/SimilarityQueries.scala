@@ -189,11 +189,17 @@ object SimilarityQueries {
     val emb = embeddings(s, d)
     // the SCALE shape, not the fixture constants: with every vector a
     // query, C = 16 would make the probe volume N·nprobe·(N/16) —
-    // effectively quadratic. C = √N bounds per-query work at nprobe·√N,
-    // the [[cosineTopKIvfKmeans]] parameter formula.
+    // effectively quadratic. C = √N bounds per-query work at nprobe·√N —
+    // and nprobe itself must be BOUNDED (r10): the probe-FRACTION formula
+    // np = C/12 the bounded-query entries use would make per-query work
+    // (√N/12)·√N = N/12, i.e. N²/12 TOTAL when every vector is a query.
+    // Capping np at 32 (the fixed-probe-count convention production IVF
+    // runs at billion scale) keeps the corpus-wide total at np·N^1.5.
+    // The cap binds only above C = 384 ⇔ N ≈ 147 k — derived big tiers —
+    // so every driver-tier oracle value is unchanged.
     val n = emb.count()
     val c = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
-    val np = math.max(2, c / 12)
+    val np = math.max(2, math.min(32, c / 12))
     val refined = Similarity.kmeansCentroidsFixedPoint(emb, c, iters = 2)
     val edges = Similarity.ivfTopKGrouped(emb, emb, k = 5,
         numCentroids = c, nprobe = np, centroidsOverride = Some(refined))
@@ -499,11 +505,12 @@ object SimilarityQueries {
 
   /** [[knnGraph]]'s oracle: the scale-shaped k-means IVF search with every
     * vector as a query (probe predicate TRUE), plus the reversed-key
-    * self-join computing the mutual flag. */
+    * self-join computing the mutual flag. np carries the 32-probe cap
+    * (binds only above C = 384, i.e. never at driver tiers). */
   private val knnGraphOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
                    FROM embeddings),
-           par AS (SELECT c, greatest(2, CAST(floor(c / 12.0) AS BIGINT)) AS np
+           par AS (SELECT c, greatest(2, least(32, CAST(floor(c / 12.0) AS BIGINT))) AS np
                    FROM (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS c FROM v)),
         ${lloydChain(2, ", par", "c")},
         ${ivfSearchSql("cents_2", ", par", "np", "TRUE")},
