@@ -69,6 +69,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == out)
   }
 
+  test("mixtureSample plans NO data shuffle (map-only filter + replication)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val plan = Sampling.mixtureSample(docs, "lang", "doc_id",
+        Map("en" -> 500L), 100L, budget = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mixture sampling must not shuffle the corpus:\n$plan")
+  }
+
   test("bernoulliByHash hits the target fraction and is layout-invariant") {
     val ev = Tables.events(spark, sf) // 10k rows at sf0.001
     val frac = 0.2

@@ -77,6 +77,15 @@ class SimilaritySpec extends AnyFunSuite {
     val j2 = rows(Similarity.ivfTopK(tied, tied, k = 3, numCentroids = 4, nprobe = 2))
     val b2 = rows(Similarity.ivfTopKGrouped(tied, tied, k = 3, numCentroids = 4, nprobe = 2))
     assert(b2 == j2)
+    // plan shape: the corpus-wide kernel must NOT broadcast either side —
+    // both shuffle once on cell id into the cogroup (a corpus-sized
+    // broadcast is precisely what this kernel exists to avoid)
+    val plan = Similarity.ivfTopKGrouped(emb, emb, k = 5,
+      numCentroids = c, nprobe = np, centroidsOverride = Some(refined))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), s"expected a cogroup kernel:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"corpus-wide kNN must not broadcast a side:\n$plan")
   }
 
   test("k-means-refined centroids keep or improve IVF recall") {
