@@ -347,43 +347,124 @@ object Dedup {
     jaccardPairsCollapsedFrom(withK, skeleton, threshold, autoBlockBound, None)
   }
 
+  /** The collapse route's three products, shared by the pair-expanding and
+    * edge-emitting consumers: the (id, rep_id) membership map, the
+    * rep-level ≥-threshold pairs, and the per-group self-score frame
+    * (rep_id, jaccard) — present exactly for the groups whose clones the
+    * uncollapsed stage would have paired with each other. */
+  private final case class CollapsedStage(members: DataFrame,
+                                          repPairs: DataFrame,
+                                          selfJ: DataFrame)
+
   /** Collapse core over the materialized per-(block, k) SKELETON (count,
     * min-id rep, rep word array — every (block, w) in a group is identical,
     * so first() is deterministic in VALUE even though row order is not):
-    * pair the reps, re-expand through the (id, rep_id) membership map. The
-    * skeleton is the one materialization on this route — it is the group
-    * table, the membership join's build side, and the source of the rep
-    * projection, so the corpus itself is scanned exactly twice (once into
-    * the skeleton, once for the membership ids). */
-  private def jaccardPairsCollapsedFrom(withK: DataFrame, skeleton: DataFrame,
-                                        threshold: Double, autoBlockBound: Int,
-                                        maxReps: Option[Long]): DataFrame = {
+    * pair the reps; consumers expand through the membership map
+    * ([[jaccardPairsCollapsedFrom]]) or attach star edges
+    * ([[jaccardNearDupEdges]]). The skeleton is the one materialization on
+    * this route — it is the group table, the membership join's build side,
+    * and the source of the rep projection, so the corpus itself is scanned
+    * exactly twice (once into the skeleton, once for the membership ids). */
+  private def jaccardCollapsedStage(withK: DataFrame, skeleton: DataFrame,
+                                    threshold: Double, autoBlockBound: Int,
+                                    maxReps: Option[Long]): CollapsedStage = {
     val members = withK.select(col("id"), col("k"))
       .join(skeleton.select(col("k"), col("rep_id")), Seq("k"))
       .select(col("id"), col("rep_id"))
     val prepared = skeleton.select(col("rep_id").as("id"), col("block"), col("w"))
       .withColumn("n", size(col("w")))
     val repPairs = jaccardScore(prepared, threshold, autoBlockBound, maxReps)
-    // cross-group expansion (member ids interleave across groups → the
-    // orientation is re-normalized per expanded pair)
-    val cross = repPairs
-      .join(members.select(col("rep_id").as("id_a"), col("id").as("xa")), Seq("id_a"))
-      .join(members.select(col("rep_id").as("id_b"), col("id").as("xb")), Seq("id_b"))
-      .select(least(col("xa"), col("xb")).as("id_a"),
-        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
-    // within-group expansion: clone pairs score sortedJaccard(w, w) — the
-    // same expression an uncollapsed in-block pair of identical arrays
-    // evaluates — behind the same n/n prefilter (empty sets: NaN, dropped)
+    // clone pairs score sortedJaccard(w, w) — the same expression an
+    // uncollapsed in-block pair of identical arrays evaluates — behind the
+    // same n/n prefilter (empty sets: NaN, dropped)
     val selfJ = prepared
       .filter(col("n").cast("double") / col("n") >= lit(threshold))
       .withColumn("jaccard", TextFunctions.sortedJaccard(col("w"), col("w")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id").as("r"), col("jaccard"))
-    val within = selfJ
-      .join(members.select(col("rep_id").as("r"), col("id").as("xa")), Seq("r"))
-      .join(members.select(col("rep_id").as("r"), col("id").as("xb")), Seq("r"))
+      .select(col("id").as("rep_id"), col("jaccard"))
+    CollapsedStage(members, repPairs, selfJ)
+  }
+
+  /** Full pair expansion of the collapse route (see
+    * [[jaccardCollapsedStage]]). */
+  private def jaccardPairsCollapsedFrom(withK: DataFrame, skeleton: DataFrame,
+                                        threshold: Double, autoBlockBound: Int,
+                                        maxReps: Option[Long]): DataFrame = {
+    val st = jaccardCollapsedStage(withK, skeleton, threshold, autoBlockBound, maxReps)
+    // cross-group expansion (member ids interleave across groups → the
+    // orientation is re-normalized per expanded pair)
+    val cross = st.repPairs
+      .join(st.members.select(col("rep_id").as("id_a"), col("id").as("xa")), Seq("id_a"))
+      .join(st.members.select(col("rep_id").as("id_b"), col("id").as("xb")), Seq("id_b"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+    val within = st.selfJ.withColumnRenamed("rep_id", "r")
+      .join(st.members.select(col("rep_id").as("r"), col("id").as("xa")), Seq("r"))
+      .join(st.members.select(col("rep_id").as("r"), col("id").as("xb")), Seq("r"))
       .filter(col("xa") < col("xb"))
       .select(col("xa").as("id_a"), col("xb").as("id_b"), col("jaccard"))
     cross.unionByName(within)
+  }
+
+  /** Near-duplicate graph EDGES for transitive closures ([[Components]]),
+    * WITHOUT expanding clone cliques — the word-set analogue of
+    * [[Similarity.cosineNearDupEdges]]: rep-level ≥-threshold pairs plus
+    * one (rep, member) star edge per non-rep clone. Connectivity of this
+    * graph equals the full [[jaccardPairs]] graph's — a clone reaches
+    * everything its rep reaches through its star edge, and the star edge
+    * exists exactly when the uncollapsed stage would have paired the
+    * clones (the selfJ frame: sortedJaccard(w, w) ≥ threshold behind the
+    * n/n prefilter; an empty-word-set group passes neither, emits no rep
+    * pairs either, and so correctly stays all-singletons on both
+    * formulations). A clone-clique of size g costs g−1 edges instead of
+    * g²/2 expanded pairs — at the clone-heavy 100× tier the expanded
+    * formulation materializes a multi-GiB-per-partition edge snapshot
+    * inside [[Components]] and OOMs a 64 g driver; this one closes the
+    * same components over an edge set linear in corpus size.
+    *
+    * Cost-gated like [[jaccardPairs]]: at volume ratio ≈ 1 the direct pair
+    * list IS the edge list (star edges degenerate to nothing), so the gate
+    * routes there and skips the collapse machinery. */
+  def jaccardNearDupEdges(df: DataFrame, idCol: String, textCol: String,
+                          blockExpr: Column, threshold: Double,
+                          autoBlockBound: Int = 1024): DataFrame = {
+    val full = graft.util.Snapshots.snap(
+      df.select(col(idCol).as("id"), blockExpr.as("block"),
+          array_sort(TextFunctions.words(col(textCol))).as("w"))
+        .withColumn("k", jaccardContentKey))
+    def buildSkeleton() = graft.util.Snapshots.snap(
+      full.groupBy("block", "k").agg(count(lit(1)).as("g"),
+        min(col("id")).as("rep_id"), first(col("w")).as("w")))
+    val (stats, skel) =
+      PairCandidates.blockedStatsFor(full.select("block", "k"), buildSkeleton _)
+    if (stats.collapse)
+      edgesFromStage(jaccardCollapsedStage(full, skel.getOrElse(buildSkeleton()),
+        threshold, autoBlockBound, Some(stats.maxBlockReps)))
+    else
+      jaccardScore(full.select("id", "block", "w").withColumn("n", size(col("w"))),
+        threshold, autoBlockBound, Some(stats.maxBlockRows))
+        .select("id_a", "id_b")
+  }
+
+  /** Rep pairs + (rep, member) star edges of a collapse stage. */
+  private def edgesFromStage(st: CollapsedStage): DataFrame = {
+    val star = st.members.filter(col("id") =!= col("rep_id"))
+      .join(st.selfJ.select("rep_id"), Seq("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+    st.repPairs.select(col("id_a"), col("id_b")).unionByName(star)
+  }
+
+  /** Compatibility entry for specs (the fixture-scale twin of
+    * [[jaccardNearDupEdges]]'s collapse branch, which the public
+    * dispatch's volume floor routes away from on small inputs): build the
+    * skeleton from a prepared (id, block, w) projection, then emit the
+    * star-edge formulation unconditionally. */
+  private[operators] def jaccardNearDupEdgesCollapsed(
+      prepared0: DataFrame, threshold: Double, autoBlockBound: Int): DataFrame = {
+    val withK = prepared0.withColumn("k", jaccardContentKey)
+    val skeleton = graft.util.Snapshots.snap(
+      withK.groupBy("block", "k").agg(count(lit(1)).as("g"),
+        min(col("id")).as("rep_id"), first(col("w")).as("w")))
+    edgesFromStage(jaccardCollapsedStage(withK, skeleton, threshold, autoBlockBound, None))
   }
 }

@@ -16,21 +16,25 @@ import graft.util.Tables._
   */
 object PipelineQueries {
 
-  /** Near-dup cluster resolution: the pair list (word-set Jaccard ≥ 0.5
-    * inside (lang, length-bucket) blocks — the q_jaccard_pairs machinery,
-    * un-limited) closed into transitive components via alternating
+  /** Near-dup cluster resolution: the near-dup graph (word-set Jaccard
+    * ≥ 0.5 inside (lang, length-bucket) blocks — the q_jaccard_pairs
+    * machinery) closed into transitive components via alternating
     * large-star/small-star ([[graft.operators.Components]]), every doc
     * assigned its cluster, sized, and the canonical survivor marked
     * (minimum doc_id — the deterministic survivor rule the exact-dedup
     * family already uses). a~b, b~c retires c even when (a,c) was never
     * emitted — the step pair-emitting dedup ops need before any doc can
-    * be dropped. Shuffles carry (Long, Long) ids only; never documents. */
+    * be dropped. The closure consumes [[Dedup.jaccardNearDupEdges]] —
+    * rep pairs + star edges, connectivity-identical to the expanded pair
+    * list but LINEAR in clone-group size where the expansion is quadratic
+    * (the q_semdedup discipline; at the clone-heavy 100× tier the
+    * expanded pair graph OOMs the closure's edge snapshot). Shuffles
+    * carry (Long, Long) ids only; never documents. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+    val pairs = Dedup.jaccardNearDupEdges(docs, "doc_id", "text",
         blockExpr = concat_ws("|", col("lang"), floor(col("n_chars") / 25).cast("long")),
         threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
     val comp = Components.clusters(docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
     comp.join(sizes, "component")

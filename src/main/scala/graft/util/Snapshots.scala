@@ -21,5 +21,16 @@ import org.apache.spark.sql.DataFrame
 object Snapshots {
   def snap(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    // DISK_ONLY, not the MEMORY_AND_DISK default (r10): a memory-leveled
+    // snapshot stores partitions as DESERIALIZED VALUE ARRAYS, and a
+    // partition that spilled under pressure gets RE-INFLATED into one on
+    // every later read (BlockManager.maybeCacheDiskValuesInMemory) — for
+    // a corpus-sized snapshot that is a multi-GiB unmanaged allocation
+    // per concurrently-reading task, measured as driver-killing heap OOM
+    // in q_dedup_clusters at the clone-heavy 100× tier even at 64 g.
+    // DISK_ONLY blocks stream serialized from local disk (page-cached in
+    // practice), never re-inflate, and pin no storage memory against the
+    // jobs running on top of the snapshot.
+    else df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
 }

@@ -89,6 +89,40 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(_._1).contains((0L, 2L)))
   }
 
+  test("jaccard near-dup edges close the same components as the expanded pairs") {
+    // clone-planted fixture; the collapsed STAR-EDGE formulation is forced
+    // through the spec twin (the public dispatch's volume floor routes a
+    // fixture-scale input DIRECT, where edges ≡ pairs trivially — asserted
+    // last). The empty docs form their own clone group (words("") = [""],
+    // J = 1) that must merge with nothing else.
+    val clones = (0L to 39L).map(i => (i, base)) ++
+      (40L to 79L).map(i => (i, base.replace("today", "tonight"))) ++
+      Seq((80L, "completely different content about catalyst rules"), (81L, ""), (82L, ""))
+    val df = clones.toDF("doc_id", "text")
+    val prepared0 = df.select(col("doc_id").as("id"), lit("b").as("block"),
+      array_sort(graft.functions.TextFunctions.words(col("text"))).as("w"))
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Components.clusters(df.select("doc_id"), "doc_id", edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = comps(Dedup.jaccardPairs(df, "doc_id", "text", lit(1), 0.3)
+      .select("id_a", "id_b"))
+    val viaStars = comps(Dedup.jaccardNearDupEdgesCollapsed(prepared0, 0.3, 1024))
+    assert(viaStars == viaPairs)
+    assert(viaStars(81L) == 81L && viaStars(82L) == 81L) // empty-doc clone pair, isolated
+    assert(viaStars(80L) == 80L)                         // unrelated doc: singleton
+    assert(viaStars(0L) == 0L && viaStars(79L) == 0L)    // near-dup clones merge
+    // the point of the formulation: linear, not quadratic, in clone count
+    val nEdges = Dedup.jaccardNearDupEdgesCollapsed(prepared0, 0.3, 1024).count()
+    val nPairs = Dedup.jaccardPairs(df, "doc_id", "text", lit(1), 0.3).count()
+    assert(nEdges < nPairs / 10, s"edges=$nEdges pairs=$nPairs")
+    // fixture-scale dispatch routes direct: the edge list IS the pair list
+    val dispatched = Dedup.jaccardNearDupEdges(df, "doc_id", "text", lit(1), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairSet = Dedup.jaccardPairs(df, "doc_id", "text", lit(1), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dispatched == pairSet)
+  }
+
   test("minhash near-dup plan shuffles band keys, not raw-text cross joins") {
     val plan = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
