@@ -155,11 +155,78 @@ object SelectionQueries {
       .orderBy("lang", "epoch")
   }
 
+  /** Deterministic global training-order shuffle + sharding AUDIT: every
+    * doc gets a pseudo-random POSITION from the MINSTD affine permutation
+    * (perm = (id·48271 + 11) mod 2³¹−1 — full-period over the id domain),
+    * its shard is perm mod S, and its slot within the shard is the rank of
+    * perm there. This is the reproducible "shuffle once, stream shards in
+    * order" layout an epoch of training consumes; the audit pins the exact
+    * ORDER (not just membership) via a positional checksum
+    * Σ pos·(doc_id mod 1000003), so any engine/layout that disagrees on a
+    * single slot hashes differently.
+    *
+    * Scale shape: the permutation is map-only; the within-shard rank is a
+    * row_number window partitioned by shard — exactly the S-way shuffle +
+    * intra-shard sort a shard WRITER pays, data-parallel across shards (at
+    * 100 TB, S is thousands and each task sorts one shard's slice). The
+    * audit rollup is S rows. No global sort anywhere. */
+  def trainOrder(s: SparkSession, d: String): DataFrame = {
+    val perm = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L) + lit(11L),
+      lit(2147483647L))
+    val byShard = Window.partitionBy("shard").orderBy(col("perm"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), perm.as("perm"))
+      .withColumn("shard", col("perm") % 8)
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("perm").as("first_perm"), max("perm").as("last_perm"),
+        sum(expr("pos * (doc_id % 1000003)")).as("order_sum"))
+      .orderBy("shard")
+  }
+
+  /** Composite C4/Gopher-style RULE filter with per-rule accounting: four
+    * integer-exact document rules (too few words; stopword ratio below
+    * 3 % — the Gopher "natural language has stopwords" test; word
+    * repetition above 60 % — boilerplate; mean word length under 4.5
+    * chars — fragment soup), rolled up per source with how many docs each
+    * rule rejected and how many survived ALL rules. This is the audit
+    * table a filtering pass publishes alongside the kept corpus — per-rule
+    * attribution is what lets a recipe owner see WHICH rule is eating a
+    * source.
+    *
+    * Every rule is integer basis-point arithmetic on one map-side pass
+    * (shared split(text) subexpression, no UDFs); the only shuffle is the
+    * ≤|sources|-group rollup. At 100 TB this is a single corpus scan. */
+  def ruleFilter(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val n = size(w).cast("long")
+    val meanLenDeci = floor(aggregate(w, lit(0), (acc, x) => acc + length(x))
+      * lit(10) / size(w)).cast("long")
+    documents(s, d)
+      .select(col("source"),
+        (n < 30).cast("long").as("r_short"),
+        (stopwordRatioBp(col("text")) < 300).cast("long").as("r_stop"),
+        (repetitionBp(col("text")) > 6000).cast("long").as("r_rep"),
+        (meanLenDeci < 45).cast("long").as("r_wordlen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r_short").as("n_short"),
+        sum("r_stop").as("n_low_stopword"),
+        sum("r_rep").as("n_repetitive"),
+        sum("r_wordlen").as("n_short_words"),
+        sum(when(col("r_short") + col("r_stop") + col("r_rep") + col("r_wordlen") === 0, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
     "q_split_assign"    -> (splitAssign _),
     "q_mixture_sample"  -> (mixtureSample _),
+    "q_train_order"     -> (trainOrder _),
+    "q_rule_filter"     -> (ruleFilter _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,6 +293,45 @@ object SelectionQueries {
               CAST(sum(n_words) AS BIGINT) AS sum_words
        FROM r, tot
        GROUP BY 1 ORDER BY 1""",
+    "q_train_order" ->
+      """WITH p AS (SELECT doc_id,
+                           ((doc_id % 2147483647) * 48271 + 11) % 2147483647 AS perm
+                    FROM documents),
+              sh AS (SELECT doc_id, perm, perm % 8 AS shard FROM p),
+              o AS (SELECT shard, perm, doc_id,
+                           row_number() OVER (PARTITION BY shard ORDER BY perm, doc_id) AS pos
+                    FROM sh)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                min(perm) AS first_perm, max(perm) AS last_perm,
+                CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS order_sum
+         FROM o GROUP BY shard ORDER BY shard""",
+    "q_rule_filter" ->
+      """WITH s AS (SELECT source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                           len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the','a','of','and','to'))) * 10000
+                             // len(string_split(text, ' ')) AS sw,
+                           (len(string_split(text, ' '))
+                             - len(list_distinct(string_split(text, ' ')))) * 10000
+                             // len(string_split(text, ' ')) AS rep,
+                           (list_sum(list_transform(string_split(text, ' '),
+                               x -> len(x))) * 10)
+                             // len(string_split(text, ' ')) AS ml
+                    FROM documents),
+              f AS (SELECT source,
+                           CASE WHEN n < 30 THEN 1 ELSE 0 END AS r_short,
+                           CASE WHEN sw < 300 THEN 1 ELSE 0 END AS r_stop,
+                           CASE WHEN rep > 6000 THEN 1 ELSE 0 END AS r_rep,
+                           CASE WHEN ml < 45 THEN 1 ELSE 0 END AS r_wordlen
+                    FROM s)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(r_short) AS BIGINT) AS n_short,
+                CAST(sum(r_stop) AS BIGINT) AS n_low_stopword,
+                CAST(sum(r_rep) AS BIGINT) AS n_repetitive,
+                CAST(sum(r_wordlen) AS BIGINT) AS n_short_words,
+                CAST(sum(CASE WHEN r_short + r_stop + r_rep + r_wordlen = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM f GROUP BY source ORDER BY source""",
     "q_split_assign" ->
       """WITH a AS (SELECT source,
                            CASE WHEN (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 100 < 98 THEN 'train'

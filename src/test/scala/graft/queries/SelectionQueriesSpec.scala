@@ -98,6 +98,37 @@ class SelectionQueriesSpec extends AnyFunSuite {
     assert(sub == full)
   }
 
+  test("train_order: audit is layout-independent and covers the corpus exactly once") {
+    val base = SelectionQueries.trainOrder(spark, sf).collect()
+    val n = graft.util.Tables.documents(spark, sf).count()
+    assert(base.map(_.getLong(1)).sum == n, "every doc lands in exactly one shard slot")
+    assert(base.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    // rewriting the corpus with a different partitioning/row order must not
+    // move a single slot (the positional checksum pins the ORDER, not just
+    // membership)
+    val dir = java.nio.file.Files.createTempDirectory("graft_order_fixture").toString
+    graft.util.Tables.documents(spark, sf).repartition(7)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shuffled = SelectionQueries.trainOrder(spark, dir).collect()
+    assert(base.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+  }
+
+  test("rule_filter: planted fixture attributes each rule and the kept count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rule_fixture").toString
+    val good = ("the " + (1 to 29).map(i => f"word$i%02dx").mkString(" ")) // 30 words, 1 stopword, 6-char words
+    val rep = Seq.fill(40)("spark").mkString(" ")                          // repetitive, no stopwords
+    Seq((1L, "a b", "s1"), (2L, good, "s1"), (3L, rep, "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = SelectionQueries.ruleFilter(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    // s1: "a b" fails short+wordlen; the 30-word doc passes all four rules
+    assert(res("s1") == Seq(2L, 1L, 0L, 0L, 1L, 1L))
+    // s2: the 40x-repeated doc fails low-stopword and repetition
+    assert(res("s2") == Seq(1L, 0L, 1L, 1L, 0L, 0L))
+  }
+
   test("knn_graph: mutual flag is symmetric and edges are each vector's ivf top-5") {
     val edges = SimilarityQueries.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
