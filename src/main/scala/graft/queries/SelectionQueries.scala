@@ -220,6 +220,60 @@ object SelectionQueries {
       .orderBy("source")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hash every token into
+    * B = 4096 buckets, fit two bag-of-hashed-grams unigram models — the
+    * TARGET domain (here: lang = 'en' documents, standing in for "looks
+    * like the domain we want more of") and the RAW corpus — and score each
+    * document by the summed per-token log-likelihood ratio
+    * ln p_target(b)/p_raw(b) (add-one smoothing over the B buckets). High
+    * weight = target-like; importance RESAMPLING then keeps docs with
+    * probability ∝ weight. This is the standard cheap-feature data
+    * selection scorer (the hashed-n-gram alternative to training a
+    * classifier).
+    *
+    * Engine portability: the token hash is the [[graft.operators.Dedup
+    * .polyHash]] char fold (expressible in DuckDB list_reduce — the
+    * q_minhash_arith convention). Float discipline: the ONLY floating
+    * step is one ln per OCCUPIED BUCKET (≤ 4096 — model-sized, never
+    * corpus-sized), computed as a single ln of a double ratio and floored
+    * into integer MICRO-NATS; both smoothed-count products widen to
+    * double BEFORE multiplying so no BIGINT overflow exists at any corpus
+    * size, and every aggregate after the rounding is BIGINT (the
+    * q_ngram_lm discipline).
+    *
+    * Scale shape: tokenize+hash is map-side; the (doc_id, lang, b) stream
+    * is materialized ONCE ([[graft.util.Snapshots.snap]] — eager, same
+    * contract as q_ngram_lm's bigram projection) and shared by its two
+    * consumers (model fit, scoring). The model is ONE partial-agg shuffle
+    * with ≤ B output rows (target and raw counts from the same pass via
+    * conditional sums); totals are a 1-row broadcast; scoring joins
+    * occurrences to the ≤ 4096-row model (AQE broadcasts it) and rolls up
+    * per doc with map-side combine. Two passes over the snapshot, one
+    * corpus-sized shuffle (the per-doc rollup). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 4096L
+    val occ0 = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("t"))
+      .select(col("doc_id"), col("lang"),
+        (graft.operators.Dedup.polyHash(col("t")) % B).as("b"))
+    val occ = graft.util.Snapshots.snap(occ0)
+    val model = occ.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = model.agg(sum("cr").as("rtot"), sum("ct").as("ttot"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("ct") + 1).cast("double") * (col("rtot") + B).cast("double"))
+          / ((col("cr") + 1).cast("double") * (col("ttot") + B).cast("double"))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    occ.join(lr, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr_micro").as("weight_micro"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
@@ -227,6 +281,7 @@ object SelectionQueries {
     "q_mixture_sample"  -> (mixtureSample _),
     "q_train_order"     -> (trainOrder _),
     "q_rule_filter"     -> (ruleFilter _),
+    "q_dsir_weights"    -> (dsirWeights _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,6 +387,31 @@ object SelectionQueries {
                 CAST(sum(CASE WHEN r_short + r_stop + r_rep + r_wordlen = 0
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM f GROUP BY source ORDER BY source""",
+    // polyHash fold mirrors q_minhash_arith's convention: list_reduce
+    // seeds with the first element, which equals Spark's 0-seeded
+    // (0*31 + c1) first step; every later step is (h*31 + c) mod p.
+    "q_dsir_weights" ->
+      """WITH occ AS (
+           SELECT doc_id, lang,
+                  list_reduce(list_transform(string_split(t, ''),
+                                             c -> CAST(ascii(c) AS BIGINT)),
+                              (h, c) -> (h * 31 + c) % 2147483647) % 4096 AS b
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                 FROM documents)
+           WHERE len(t) > 0),
+         m AS (SELECT b, count(*) AS cr,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+               FROM occ GROUP BY b),
+         tot AS (SELECT sum(cr) AS rtot, sum(ct) AS ttot FROM m),
+         lr AS (SELECT b,
+                       CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(rtot + 4096 AS DOUBLE))
+                                   / (CAST(cr + 1 AS DOUBLE) * CAST(ttot + 4096 AS DOUBLE)))
+                                  * 1000000, 0) AS BIGINT) AS lr_micro
+                FROM m, tot)
+         SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(l.lr_micro) AS BIGINT) AS weight_micro
+         FROM occ o JOIN lr l USING (b)
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
     "q_split_assign" ->
       """WITH a AS (SELECT source,
                            CASE WHEN (((doc_id % 2147483647) * 15485863 + 17) % 2147483647) % 100 < 98 THEN 'train'

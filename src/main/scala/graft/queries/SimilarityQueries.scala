@@ -770,8 +770,45 @@ object SimilarityQueries {
       .orderBy("event_id")
   }
 
+  /** ANN index-quality audit: recall@5 of the IVF search against the
+    * brute-force ground truth on the same 64-query batch, reported as a
+    * histogram (how many queries got 0..5 of their true top-5 back). This
+    * is the eval every production ANN deployment runs before trusting an
+    * index build — recall is THE accept/reject number for an
+    * (nprobe, cells) configuration, and the histogram (not just the mean)
+    * shows whether misses concentrate in a few hard queries or smear
+    * across the batch.
+    *
+    * Determinism: both sides are the already-oracle-checked deterministic
+    * pipelines ([[cosineTopK]], [[cosineTopKIvf]] — lowest-id seeds,
+    * tie-broken ranks), and the audit only joins their (query, candidate)
+    * id sets — no new float path at all; the output is pure counts.
+    *
+    * Scale shape: ground truth costs Q·N scored candidates (map-side dot
+    * products against a broadcast Q-row query batch + bounded top-k agg —
+    * the audit runs on a BOUNDED query sample, never the corpus); the IVF
+    * side is the index's own probe cost. The join and histogram are over
+    * Q·k ≤ 320 rows. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 64)
+    val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "candidate_id")
+    val approx = Similarity.ivfTopK(emb, queries, k = 5)
+      .select("query_id", "candidate_id")
+    val hits = truth.join(approx, Seq("query_id", "candidate_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .groupBy("n_hits")
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("n_hits")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_norm"      -> (embedNorm _),
+    "q_ann_recall"      -> (annRecall _),
     "q_cosine_topk"     -> (cosineTopK _),
     "q_knn_graph"       -> (knnGraph _),
     "q_cosine_topk_ivf" -> (cosineTopKIvf _),
@@ -824,6 +861,63 @@ object SimilarityQueries {
     // The √N-kmeans IVF pipeline with queries = corpus (probe predicate
     // TRUE), then the reversed-key self-join for the mutual flag.
     "q_knn_graph" -> knnGraphOracle,
+    // Recall@5 audit: the q_cosine_topk CTE chain (ground truth) and the
+    // q_cosine_topk_ivf chain (approximate), joined on (query, candidate),
+    // rolled up into a hit-count histogram. Pure id-set counts — no new
+    // float path beyond the two already-checked pipelines.
+    "q_ann_recall" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                     list_reduce(list_transform(range(1, len(q.ve) + 1),
+                                                i -> q.ve[i] * c.ve[i]), (a,b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(q.ve, x -> x*x), (a,b) -> a+b))
+                        * sqrt(list_reduce(list_transform(c.ve, x -> x*x), (a,b) -> a+b))) AS sim
+              FROM v q JOIN v c ON q.vec_id < 64 AND q.vec_id <> c.vec_id),
+            bf AS (
+              SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, candidate_id) AS rank
+                FROM sims) WHERE rank <= 5),
+            nv AS (SELECT vec_id, ve,
+                          sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS vn
+                   FROM v),
+            cents AS (SELECT vec_id AS cell_id, ve AS cv, vn AS cn
+                      FROM nv ORDER BY vec_id LIMIT 16),
+            asim AS (SELECT n.vec_id, n.ve, n.vn, c.cell_id,
+                            list_reduce(list_transform(range(1, len(n.ve) + 1),
+                                                       i -> n.ve[i] * c.cv[i]), (a,b) -> a+b)
+                            / c.cn AS csim
+                     FROM nv n CROSS JOIN cents c),
+            ranked_cells AS (SELECT vec_id, ve, vn, cell_id,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY csim DESC, cell_id) AS cr
+                             FROM asim),
+            cand  AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells WHERE cr = 1),
+            probe AS (SELECT cell_id AS cell, vec_id, ve, vn FROM ranked_cells
+                      WHERE cr <= 4 AND vec_id < 64),
+            pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS candidate_id,
+                             list_reduce(list_transform(range(1, len(p.ve) + 1),
+                                                        i -> p.ve[i] * a.ve[i]), (x,y) -> x+y)
+                             / (p.vn * a.vn) AS sim
+                      FROM probe p JOIN cand a ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+            ivfr AS (
+              SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, candidate_id) AS rank
+                FROM pairs) WHERE rank <= 5),
+            hits AS (SELECT b.query_id, count(*) AS n_hits
+                     FROM bf b JOIN ivfr i USING (query_id, candidate_id)
+                     GROUP BY b.query_id),
+            per AS (SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits
+                    FROM (SELECT DISTINCT query_id FROM bf) q
+                    LEFT JOIN hits h USING (query_id))
+         SELECT CAST(n_hits AS BIGINT) AS n_hits,
+                CAST(count(*) AS BIGINT) AS n_queries
+         FROM per GROUP BY n_hits ORDER BY n_hits""",
     // Mirrors ivfTopK stage-for-stage: 16 lowest-id seed centroids, map-only
     // argmax assignment (ties → lowest cell), nprobe=4 probe cells per query,
     // in-cell cosine, distinct pair, rank ≤ 5. Fold orders match Spark's

@@ -129,6 +129,48 @@ class SelectionQueriesSpec extends AnyFunSuite {
     assert(res("s2") == Seq(1L, 0L, 1L, 1L, 0L, 0L))
   }
 
+  test("dsir: target-vocabulary docs outscore off-target docs; layout-independent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_fixture").toString
+    // target (en) speaks alpha/beta; the raw bulk (de) speaks zeta; two
+    // probe docs in a third lang share one vocabulary each — DSIR must
+    // rank the alpha/beta probe above the zeta probe
+    val docs = Seq.tabulate(20)(i => (100L + i, "alpha beta alpha beta", "en")) ++
+      Seq.tabulate(20)(i => (200L + i, "zeta zeta zeta zeta", "de")) ++
+      Seq((1L, "alpha beta alpha beta", "xx"), (2L, "zeta zeta zeta zeta", "xx"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = SelectionQueries.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(1L) > w(2L), s"target-like doc must outscore: ${w(1L)} vs ${w(2L)}")
+    // (no sign assertion: with B = 4096 smoothing buckets and a ~50-token
+    // fixture, add-one smoothing dominates the absolute log-ratio — only
+    // the ORDERING is scale-free)
+    // identical results from a different physical layout
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dsir_fixture2").toString
+    spark.read.parquet(s"$dir/documents.parquet").repartition(13)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val w2 = SelectionQueries.dsirWeights(spark, dir2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w == w2)
+  }
+
+  test("ann_recall: histogram covers all 64 queries and matches a direct recount") {
+    val hist = SimilarityQueries.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 64L, "every query appears exactly once")
+    assert(hist.keys.forall(h => h >= 0 && h <= 5))
+    // recount from the two declared pipelines' own outputs
+    val bf = SimilarityQueries.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.cosineTopKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bf.groupBy(_._1)
+      .map { case (q, s) => q -> s.count(ivf.contains).toLong }
+      .groupBy(_._2).map { case (h, m) => h -> m.size.toLong }
+    assert(hist == expected)
+  }
+
   test("knn_graph: mutual flag is symmetric and edges are each vector's ivf top-5") {
     val edges = SimilarityQueries.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
