@@ -236,7 +236,15 @@ object CorpusQueries {
     * [[graft.util.Sessions]]), whereas a CacheManager entry would pin
     * executor storage until an explicit unpersist no library caller is
     * contracted to issue. */
-  def ngramLm(s: SparkSession, d: String): DataFrame = {
+  def ngramLm(s: SparkSession, d: String): DataFrame =
+    ngramLmScores(s, d).orderBy("doc_id")
+
+  /** [[ngramLm]] without the presentation sort — the composable form
+    * ([[SelectionQueries.pplBuckets]] consumes the per-doc scores inside a
+    * larger plan, where a subquery sort is dead weight). Same eager
+    * materialization contract: constructing this frame snapshots the
+    * (doc_id, w1, w2) projection (see the scaladoc above). */
+  def ngramLmScores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
     val bi0 = docs
@@ -258,7 +266,6 @@ object CorpusQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_micro"))
       .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
-      .orderBy("doc_id")
   }
 
   /** Token-count distribution in decimal-magnitude buckets (docs with

@@ -274,7 +274,68 @@ object SelectionQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style per-language perplexity buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document's fluency under the corpus bigram LM,
+    * then split EACH LANGUAGE into exact head / middle / tail terciles by
+    * perplexity — the published recipe keeps head+middle and drops (or
+    * downweights) the tail, per language, because absolute perplexity is
+    * not comparable across languages. Output is the per-(lang, bucket)
+    * audit table (doc counts, perplexity range, bigram mass) a curation
+    * run signs off before applying the filter.
+    *
+    * Exactness: the per-doc score is [[CorpusQueries.ngramLmScores]]'s
+    * integer micro-nat average, quantized to MILLI-nats (`div 1000`) so
+    * the per-lang score domain is bounded (≤ ~40001 values — bounded by
+    * the LM's max smoothed nll, not the corpus); terciles then use the
+    * grouped form of [[qualityDeciles]]'s no-global-sort plan: a
+    * per-(lang, score) HISTOGRAM (≤ |langs|·domain rows) gives each score
+    * value's within-lang rank offset, a row_number window partitioned by
+    * (lang, score) — fine-grained, data-parallel — breaks ties by doc_id,
+    * and bucket = ((offset + rw − 1)·3) div n_lang, identical by
+    * construction to a per-lang row_number over (score, doc_id), which is
+    * what the oracle runs. Docs with < 2 words have no bigrams and are
+    * out of scope on both sides (a length rule catches them first — see
+    * [[ruleFilter]]).
+    *
+    * Scale shape: the LM chain is q_ngram_lm's (one snapshot of the
+    * bigram projection, model-sized aggs, model join, per-doc rollup);
+    * the lang join prunes documents to (doc_id, lang); the histogram and
+    * per-lang counts are bounded broadcasts; the only added corpus-sized
+    * ops are one row_number over high-cardinality (lang, score) groups
+    * and the final ≤ |langs|·3-group rollup. */
+  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = CorpusQueries.ngramLmScores(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("avg_micro div 1000").as("ppl_milli"))
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+    val nLang = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val hist = scored.groupBy("lang", "ppl_milli").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.partitionBy("lang").orderBy("ppl_milli")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("lang", "ppl_milli", "offset")
+    val withinW = Window.partitionBy("lang", "ppl_milli").orderBy("doc_id")
+    scored
+      .withColumn("rw", row_number().over(withinW))
+      .join(broadcast(hist), Seq("lang", "ppl_milli"))
+      .join(broadcast(nLang), "lang")
+      .withColumn("bucket", expr("((offset + rw - 1) * 3) div n_lang"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ppl_milli").as("min_ppl_milli"),
+        max("ppl_milli").as("max_ppl_milli"),
+        sum("n_bigrams").as("sum_bigrams"))
+      .withColumn("bucket_name",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === 1, "middle").otherwise("tail"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppl_buckets"     -> (pplBuckets _),
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
     "q_split_assign"    -> (splitAssign _),
@@ -285,6 +346,42 @@ object SelectionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // CCNet buckets: the q_ngram_lm CTE chain (same integer micro-nat
+    // model), quantized to milli-nats, then a per-lang row_number tercile
+    // — the single-sort semantics the engine's histogram plan must equal
+    "q_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wf),
+         bi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM p0),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         vocab AS (SELECT count(DISTINCT t) AS v
+                   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         model AS (SELECT w1, w2,
+                          CAST(round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS nll
+                   FROM c2 JOIN c1 USING (w1), vocab),
+         score AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                          (sum(nll) // count(*)) // 1000 AS ppl_milli
+                   FROM bi JOIN model USING (w1, w2) GROUP BY doc_id),
+         sl AS (SELECT s.doc_id, s.n_bigrams, s.ppl_milli, d.lang
+                FROM score s JOIN documents d USING (doc_id)),
+         r AS (SELECT lang, doc_id, ppl_milli, n_bigrams,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY ppl_milli, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n_lang
+               FROM sl),
+         b AS (SELECT lang, ppl_milli, n_bigrams,
+                      ((rk - 1) * 3) // n_lang AS bucket FROM r)
+       SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(ppl_milli) AS BIGINT) AS min_ppl_milli,
+              CAST(max(ppl_milli) AS BIGINT) AS max_ppl_milli,
+              CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+              CASE WHEN bucket = 0 THEN 'head'
+                   WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_name
+       FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
     // mixture sampler: per-lang target = budget·w/1000 (integer), full
     // epochs = target // avail, remainder via the shared affine bucket;
     // range(0, n) is empty at n <= 0, dropping unselected rows

@@ -806,8 +806,50 @@ object SimilarityQueries {
       .orderBy("n_hits")
   }
 
+  /** Embedding-space eval-set decontamination: flag every corpus vector
+    * whose cosine similarity to ANY benchmark/eval vector reaches the
+    * near-dup threshold (0.4 — the [[embedNearDup]] convention), reporting
+    * the best-matching eval item per contaminated doc. This is the
+    * SEMANTIC decontamination pass modern pipelines run beside the exact
+    * n-gram check ([[CorpusQueries.decontamBloom]]): paraphrased or
+    * re-rendered benchmark items share no 8-gram but sit on top of the
+    * eval item in embedding space. Eval set = the 64 lowest-id vectors
+    * (the [[cosineTopK]] query-batch convention); corpus = the rest.
+    *
+    * Scale shape: the eval batch is BOUNDED (benchmarks are thousands of
+    * items, never corpus-sized), so scoring is map-side — each corpus
+    * vector takes |E| fused dot products against the broadcast eval batch
+    * (BroadcastNestedLoopJoin; no shuffle, no corpus² term, the
+    * [[annRecall]] ground-truth shape). Only ≥-threshold hits survive to
+    * the best-match window, whose partitions are ≤ |E| rows each
+    * (partitioned by the contaminated doc — data-parallel even if the
+    * whole corpus were contaminated). Determinism: sequential-fold dots
+    * (bit-identical cross-engine), ties broken by lowest eval id. */
+  def decontamEmbed(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val eval = broadcast(emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("eval_id"),
+        Similarity.toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.l2Norm(col("qv"))))
+    val corpus = emb.filter(col("vec_id") >= 64)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.l2Norm(col("cv")))
+    val hits = corpus.crossJoin(eval)
+      .withColumn("sim",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("sim") >= 0.4)
+    val bestW = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
+    hits.withColumn("rw", row_number().over(bestW))
+      .filter(col("rw") === 1)
+      .select(col("vec_id"), col("eval_id").as("matched_eval_id"),
+        round(col("sim"), 6).cast(DecimalType(18, 6)).cast("double").as("sim"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_norm"      -> (embedNorm _),
+    "q_decontam_embed"  -> (decontamEmbed _),
     "q_ann_recall"      -> (annRecall _),
     "q_cosine_topk"     -> (cosineTopK _),
     "q_knn_graph"       -> (knnGraph _),
@@ -861,6 +903,31 @@ object SimilarityQueries {
     // The √N-kmeans IVF pipeline with queries = corpus (probe predicate
     // TRUE), then the reversed-key self-join for the mutual flag.
     "q_knn_graph" -> knnGraphOracle,
+    // Semantic decontam: corpus (id >= 64) vs broadcast eval batch
+    // (id < 64), sequential-fold cosine, >= 0.4 hits, best match per
+    // contaminated doc (ties -> lowest eval id)
+    "q_decontam_embed" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+            q AS (SELECT vec_id AS eval_id, ve AS qv,
+                         sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS qn
+                  FROM v WHERE vec_id < 64),
+            c AS (SELECT vec_id, ve AS cv,
+                         sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS cn
+                  FROM v WHERE vec_id >= 64),
+            sims AS (SELECT c.vec_id, q.eval_id,
+                            list_reduce(list_transform(range(1, len(qv) + 1),
+                                                       i -> qv[i] * cv[i]), (a,b) -> a+b)
+                            / (qn * cn) AS sim
+                     FROM c CROSS JOIN q),
+            hits AS (SELECT * FROM sims WHERE sim >= 0.4),
+            best AS (SELECT vec_id, eval_id, sim,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY sim DESC, eval_id) AS rw
+                     FROM hits)
+         SELECT vec_id, eval_id AS matched_eval_id,
+                CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+         FROM best WHERE rw = 1 ORDER BY vec_id""",
     // Recall@5 audit: the q_cosine_topk CTE chain (ground truth) and the
     // q_cosine_topk_ivf chain (approximate), joined on (query, candidate),
     // rolled up into a hit-count histogram. Pure id-set counts — no new

@@ -183,4 +183,49 @@ class SelectionQueriesSpec extends AnyFunSuite {
     val perQuery = edges.groupBy(_._1).view.mapValues(_.length)
     assert(perQuery.values.forall(_ <= 5))
   }
+
+  test("ppl_buckets: per-lang exact terciles with monotone score boundaries") {
+    val rows = SelectionQueries.pplBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byLang = rows.groupBy(_._1)
+    // scored population = docs with >= 2 words (those have bigrams)
+    val scored = graft.util.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      assert(sorted.map(_._3).sum == scored(lang),
+        s"$lang bucket sizes must partition the scored docs")
+      // exact terciles: sizes differ by at most one
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // rank-ordered buckets: a bucket's max score never exceeds the
+      // next bucket's min (equality allowed — ties split at the boundary)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4,
+          s"$lang bucket ${a._2} max ${a._5} > bucket ${b._2} min ${b._4}")
+        case _ =>
+      }
+    }
+  }
+
+  test("decontam_embed: planted eval copy is flagged at sim 1, orthogonal is not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_fx").toString
+    // 64 eval vectors on distinct axes; corpus: vec 100 copies eval 7
+    // (scaled — cosine ignores magnitude), vec 101 is orthogonal to all
+    def axis(i: Int, s: Float) =
+      Array.tabulate(70)(j => if (j == i) s else 0f)
+    val vecs = (0 until 64).map(i => (i.toLong, axis(i, 1f))) ++
+      Seq((100L, axis(7, 3f)), (101L, axis(69, 1f)))
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = SimilarityQueries.decontamEmbed(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.keySet == Set(100L), s"flagged: ${res.keySet}")
+    assert(res(100L)._1 == 7L && res(100L)._2 == 1.0)
+  }
 }
