@@ -286,7 +286,72 @@ object CorpusQueries {
       .orderBy("bucket_digits")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm; reference repo has no analogue,
+    * this is a training-data extension). Each doc's word-3-gram stream is
+    * poly-hashed ([[graft.operators.Dedup.polyHash]], the q_minhash_arith
+    * convention); every window of W=4 consecutive gram hashes selects its
+    * minimum, ties broken RIGHTMOST (the paper's rule — it maximizes
+    * window overlap so ~1 new selection per window boundary). The selected
+    * set is the document's fingerprint: any shared substring of
+    * ≥ W+K−1 = 6 words between two docs is GUARANTEED to share a selected
+    * gram — the detection floor exact substring dedup ([[substringDedup]])
+    * lacks (its fixed grams can straddle). Output per doc: gram count,
+    * selection count (density → 2/(W+1) on random text) and an integer
+    * checksum/min/max of the selected hashes, pinning the exact set.
+    *
+    * Determinism across engines: the (hash, position) pair is encoded into
+    * one BIGINT — `h·2³¹ + (2³¹−1−pos)` — so a single `array_min` per
+    * window implements min-hash-then-rightmost-pos exactly; h < 2³¹−1
+    * (Mersenne-mod polyHash) keeps the product < 2⁶² and positions up to
+    * 2³¹ collision-free. All arithmetic is BIGINT; no floats anywhere.
+    *
+    * Scale shape: winnowing is a purely LOCAL algorithm and the plan says
+    * so — gram hashing, window minima, distinct and the checksum are all
+    * array ops inside one projection: ZERO shuffles, zero explode (the
+    * per-word row stream [[substringDedup]] pays is never materialized),
+    * one corpus scan, whole-stage codegen end to end. At 100 TB this is
+    * the cheapest per-doc fingerprint in the file — embarrassingly
+    * parallel over documents. */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    winnowSelections(documents(s, d))
+      .select(col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        expr("aggregate(selh, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("fp_checksum"),
+        array_min(col("selh")).as("fp_min"),
+        array_max(col("selh")).as("fp_max"))
+      .orderBy("doc_id")
+
+  /** [[winnow]]'s per-doc selection arrays — the composable/testable
+    * form: `gh` (positioned gram hashes), `sel` (the encoded selected
+    * (hash, pos) pairs) and `selh` (the decoded selected hash set —
+    * intersect two docs' `selh` to detect shared ≥6-word substrings).
+    * One projection, zero shuffles. */
+  def winnowSelections(docs: DataFrame): DataFrame = {
+    val K = 3; val W = 4
+    val Shift = 2147483648L // 2^31
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("gh",
+        when(size(col("ws")) < K, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
+            j => graft.operators.Dedup.polyHash(
+              concat_ws(" ", slice(col("ws"), j, lit(K)))))))
+      .withColumn("enc", transform(col("gh"),
+        (h, i) => h * lit(Shift) + (lit(Shift - 1) - i)))
+      .withColumn("sel",
+        when(size(col("enc")) < W, array().cast("array<bigint>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(col("enc")) - (W - 1)),
+            j => array_min(slice(col("enc"), j, lit(W)))))))
+      .withColumn("selh", expr("transform(sel, x -> x div 2147483648)"))
+      .select(col("doc_id"), col("gh"), col("sel"), col("selh"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow"         -> (winnow _),
     "q_para_dedup"     -> (paraDedup _),
     "q_substring_dedup" -> (substringDedup _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -297,6 +362,39 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Winnowing: positioned word-3-gram polyHashes (the q_minhash_arith
+    // fold), encoded h*2^31 + (2^31-1-pos) so one list_min per 4-window
+    // is min-hash-then-rightmost-pos; rollup pins the selected set via
+    // count/sum/min/max of the decoded hashes
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                      CASE WHEN len(ws) < 3 THEN CAST([] AS BIGINT[])
+                           ELSE list_transform(range(1, len(ws) - 1),
+                                  j -> list_reduce(
+                                         list_transform(string_split(array_to_string(ws[j:j+2], ' '), ''),
+                                                        c -> CAST(ascii(c) AS BIGINT)),
+                                         (h, c) -> (h * 31 + c) % 2147483647)) END AS gh
+               FROM t),
+         e AS (SELECT doc_id, gh,
+                      list_transform(range(1, len(gh) + 1),
+                                     i -> gh[i] * 2147483648 + (2147483647 - (i - 1))) AS enc
+               FROM g),
+         s AS (SELECT doc_id, len(gh) AS n_grams,
+                      CASE WHEN len(enc) < 4 THEN CAST([] AS BIGINT[])
+                           ELSE list_distinct(list_transform(range(1, len(enc) - 2),
+                                  j -> list_min(enc[j:j+3]))) END AS sel
+               FROM e),
+         h AS (SELECT doc_id, n_grams, len(sel) AS n_selected,
+                      list_transform(sel, x -> x // 2147483648) AS selh
+               FROM s)
+       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+              CAST(n_selected AS BIGINT) AS n_selected,
+              CAST(CASE WHEN n_selected = 0 THEN 0
+                        ELSE list_reduce(selh, (a, b) -> a + b) END AS BIGINT) AS fp_checksum,
+              CAST(list_min(selh) AS BIGINT) AS fp_min,
+              CAST(list_max(selh) AS BIGINT) AS fp_max
+       FROM h ORDER BY doc_id""",
     "q_para_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          p0 AS (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS pos

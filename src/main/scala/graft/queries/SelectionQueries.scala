@@ -334,8 +334,64 @@ object SelectionQueries {
       .orderBy("lang", "bucket")
   }
 
+  /** Diversity-balanced embedding sampling — the cluster-balanced
+    * selection step of embedding-based curation (the SemDeDup/DataComp
+    * lineage: after dedup, sample EVENLY across semantic regions so the
+    * mix is not dominated by the head cluster). Regions are sign-random-
+    * projection buckets (Charikar 2002, SimHash for vectors): R = 6
+    * deterministic integer-weight projections give 64 buckets; each
+    * bucket gets the same target quota T = (N div 10) div 64 (a 10%
+    * budget split evenly), and oversized buckets are downsampled by the
+    * shared affine basis-point rule ([[graft.operators.Sampling
+    * .mixtureSample]]'s convention) — rank-free, so no per-bucket sort
+    * ever happens. Output is the per-bucket audit (population, selected
+    * count, selected-id checksum) a curation run reviews before applying
+    * the sample.
+    *
+    * Float discipline: the ONLY float step is the R projection dots —
+    * sequential-fold [[graft.expr.SeqDot]] over (float-exact doubles ×
+    * small-integer weights), bit-identical cross-engine per the
+    * q_cosine_topk precedent; only the SIGN is consumed. Weights are
+    * `((a_r·j + b_r) mod 1001) − 500` from the [[graft.operators.Dedup
+    * .arithPerms]] constants — integer-exact in both engines.
+    *
+    * Scale shape: bucket assignment is map-only (R codegen'd dots per
+    * row); bucket populations are a 64-group partial-agg broadcast back;
+    * selection is a map-side predicate (affine bp threshold); the final
+    * rollup has 64 groups. NO corpus-sized shuffle, no window, no sort —
+    * the corpus is scanned twice (population pass + selection pass),
+    * both scans pruned to (vec_id, embedding). */
+  def diversitySample(s: SparkSession, d: String): DataFrame = {
+    val R = 6
+    val M = 2147483647L
+    val emb = embeddings(s, d).select(col("vec_id"),
+      graft.operators.Similarity.toDouble(col("embedding")).as("ve"))
+    val bucket = graft.operators.Dedup.arithPerms.take(R).zipWithIndex
+      .map { case ((a, b), r) =>
+        val w = transform(sequence(lit(1), size(col("ve"))),
+          j => (pmod(lit(a) * j + lit(b), lit(1001L)) - 500L).cast("double"))
+        when(graft.operators.Similarity.dot(col("ve"), w) > 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val withB = emb.select(col("vec_id"), bucket.as("bucket"))
+    val counts = withB.groupBy("bucket").agg(count(lit(1)).as("n_total"))
+    val total = withB.agg(count(lit(1)).as("n"))
+    withB.join(broadcast(counts), "bucket").crossJoin(broadcast(total))
+      .withColumn("t_b", greatest(expr("n div 10 div 64"), lit(1L)))
+      .withColumn("bp",
+        pmod(pmod(col("vec_id"), lit(M)) * lit(15485863L) + lit(17L), lit(M)) % 10000L)
+      .withColumn("sel", col("bp") * col("n_total") < col("t_b") * lit(10000L))
+      .groupBy("bucket", "n_total")
+      .agg(sum(col("sel").cast("long")).as("n_selected"),
+        sum(when(col("sel"), pmod(col("vec_id"), lit(1000003L))).otherwise(0L))
+          .as("sel_checksum"))
+      .select(col("bucket"), col("n_total"), col("n_selected"), col("sel_checksum"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ppl_buckets"     -> (pplBuckets _),
+    "q_diversity_sample" -> (diversitySample _),
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
     "q_split_assign"    -> (splitAssign _),
@@ -346,6 +402,42 @@ object SelectionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Sign-projection buckets (6 arithPerms integer-weight projections,
+    // sequential-fold dots, sign only), equal per-bucket quota
+    // T = (N div 10) div 64, affine-bp downsampling, per-bucket audit
+    "q_diversity_sample" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                    FROM embeddings),
+         b AS (SELECT vec_id,
+                 (CASE WHEN list_reduce(list_transform(range(1, len(ve) + 1),
+                        j -> ve[j] * CAST(((1299721 * j + 7) % 1001) - 500 AS DOUBLE)),
+                        (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) * 1
+               + (CASE WHEN list_reduce(list_transform(range(1, len(ve) + 1),
+                        j -> ve[j] * CAST(((15485863 * j + 11) % 1001) - 500 AS DOUBLE)),
+                        (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) * 2
+               + (CASE WHEN list_reduce(list_transform(range(1, len(ve) + 1),
+                        j -> ve[j] * CAST(((32452843 * j + 13) % 1001) - 500 AS DOUBLE)),
+                        (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) * 4
+               + (CASE WHEN list_reduce(list_transform(range(1, len(ve) + 1),
+                        j -> ve[j] * CAST(((49979687 * j + 17) % 1001) - 500 AS DOUBLE)),
+                        (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) * 8
+               + (CASE WHEN list_reduce(list_transform(range(1, len(ve) + 1),
+                        j -> ve[j] * CAST(((67867967 * j + 19) % 1001) - 500 AS DOUBLE)),
+                        (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) * 16
+               + (CASE WHEN list_reduce(list_transform(range(1, len(ve) + 1),
+                        j -> ve[j] * CAST(((86028121 * j + 23) % 1001) - 500 AS DOUBLE)),
+                        (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) * 32 AS bucket
+               FROM v),
+         c AS (SELECT bucket, count(*) AS n_total FROM b GROUP BY bucket),
+         t AS (SELECT count(*) AS n FROM b),
+         s AS (SELECT b.vec_id, b.bucket, c.n_total,
+                      greatest(n // 10 // 64, 1) AS t_b,
+                      ((vec_id % 2147483647) * 15485863 + 17) % 2147483647 % 10000 AS bp
+               FROM b JOIN c USING (bucket), t)
+       SELECT CAST(bucket AS BIGINT) AS bucket, n_total,
+              CAST(sum(CASE WHEN bp * n_total < t_b * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+              CAST(sum(CASE WHEN bp * n_total < t_b * 10000 THEN vec_id % 1000003 ELSE 0 END) AS BIGINT) AS sel_checksum
+       FROM s GROUP BY bucket, n_total ORDER BY bucket""",
     // CCNet buckets: the q_ngram_lm CTE chain (same integer micro-nat
     // model), quantized to milli-nats, then a per-lang row_number tercile
     // — the single-sort semantics the engine's histogram plan must equal

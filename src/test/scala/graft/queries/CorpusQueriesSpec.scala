@@ -190,6 +190,39 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow: docs sharing a >=6-word substring share a selected fingerprint") {
+    import spark.implicits._
+    // the Schleimer et al. guarantee: window W=4 over K=3 grams detects
+    // any shared run of W+K-1 = 6 words, at ANY offset in either doc
+    val shared = "quick brown foxes jump over lazy"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"one two three four five six seven $shared"),
+      (3L, "totally unrelated words nothing in common here at all"))
+      .toDF("doc_id", "text")
+    val sel = CorpusQueries.winnowSelections(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](3).toSet).toMap
+    assert((sel(1L) intersect sel(2L)).nonEmpty,
+      "shared 6-word run must share a selected gram hash")
+    assert((sel(1L) intersect sel(3L)).isEmpty)
+    // density bounds: one selection can cover at most W windows, and
+    // distinct selections never exceed window count
+    val rolled = CorpusQueries.winnow(spark, sf).collect()
+    rolled.filter(_.getLong(1) >= 4).foreach { r =>
+      val (grams, selN) = (r.getLong(1), r.getLong(2))
+      val windows = grams - 3
+      assert(selN <= windows && selN * 4 >= windows,
+        s"doc ${r.getLong(0)}: $selN selections for $windows windows")
+    }
+  }
+
+  test("winnow: selection plan is map-only — zero exchanges") {
+    val plan = CorpusQueries
+      .winnowSelections(graft.util.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
+  }
+
   test("ngram_lm: self-trained model scores every multi-word doc, one row per doc") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sf)

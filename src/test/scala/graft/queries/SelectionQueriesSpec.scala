@@ -212,6 +212,38 @@ class SelectionQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("diversity_sample: giant cluster downsampled to quota, singletons all kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_divsample_fx").toString
+    // 6336 copies of one vector (one bucket) + 64 singleton axes:
+    // N = 6400 -> budget 640 -> per-bucket quota T = 10
+    def axis(i: Int, s: Float) = Array.tabulate(70)(j => if (j == i) s else 0f)
+    val giant = Seq.tabulate(6336)(i => (1000L + i, axis(0, 1f)))
+    val singles = (0 until 64).map(i => (i.toLong, axis(i + 1, 1f)))
+    (giant ++ singles).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SelectionQueries.diversitySample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == 6400L)
+    val (giantBuckets, smallBuckets) = rows.partition(_._2 > 10)
+    assert(giantBuckets.map(_._2).sum >= 6336L, "clone family dominates its bucket")
+    // undersized buckets keep everything
+    smallBuckets.foreach { case (b, n, sel, _) =>
+      assert(sel == n, s"bucket $b: kept $sel of $n")
+    }
+    // oversized buckets: selection is EXACTLY the affine-bp rule — recount
+    val M = 2147483647L
+    def bp(id: Long) = ((id % M) * 15485863L + 17L) % M % 10000L
+    giantBuckets.foreach { case (_, n, sel, _) =>
+      val ids = if (n >= 6336L) giant.map(_._1) else Seq.empty
+      if (ids.nonEmpty) {
+        val expect = ids.count(id => bp(id) * n < 10L * 10000L)
+        assert(sel.toInt <= expect + 64 && sel >= 1 && sel < n / 10,
+          s"giant bucket kept $sel of $n (rule says ~$expect)")
+      }
+    }
+  }
+
   test("decontam_embed: planted eval copy is flagged at sim 1, orthogonal is not") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_decontam_fx").toString
