@@ -124,20 +124,26 @@ object Dedup {
     (1299721L, 7L), (15485863L, 11L), (32452843L, 13L), (49979687L, 17L),
     (67867967L, 19L), (86028121L, 23L), (104395301L, 29L), (122949823L, 31L))
 
-  /** Polynomial hash of a string column: fold chars, (h*31 + code) mod p.
-    * Starts at 0, so engines whose fold seeds with the first element agree
-    * (0*31 + c1 = c1). */
-  def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (h, c) => pmod(h * lit(31L) + ascii(c), lit(Prime)))
+  /** Polynomial hash of a string column: fold code points, (h*31 + code)
+    * mod p. Starts at 0, so engines whose fold seeds with the first
+    * element agree (0*31 + c1 = c1). Compiled ([[graft.expr.PolyHash]]) —
+    * value-identical to the original HOF spelling `aggregate(split(s, ""),
+    * 0L, (h, c) => pmod(h*31 + ascii(c), p))`, which allocated a
+    * per-character array and paid two interpreted lambdas per character
+    * (PolyHashSpec pins the equality on the real corpus). */
+  def polyHash(s: Column): Column = graft.expr.PolyHash.poly_hash(s)
 
-  /** One column per permutation: min over shingle poly-hashes. */
+  /** One column per permutation: min over shingle poly-hashes. All 8
+    * minima come from ONE compiled pass over the shingle array
+    * ([[graft.expr.MinhashSigs]]) — the former spelling (a `transform`
+    * materializing the hash array, then 8 interpreted `transform` +
+    * `array_min` passes) paid ~8·|shingles| lambda dispatches and 9
+    * array allocations per document and dominated q_delta_dedup's
+    * 100×-tier profile. Values are pinned identical by MinhashSigsSpec. */
   def arithMinhashColumns(textCol: Column, shingleN: Int = 3): Seq[Column] = {
-    val hashes = transform(TextFunctions.wordShingles(textCol, shingleN), polyHash(_))
-    arithPerms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(Prime))))
-        .as(s"sig_$i")
-    }
+    val sigs = graft.expr.MinhashSigs
+      .minhash_sigs(TextFunctions.wordShingles(textCol, shingleN))
+    arithPerms.indices.map(i => element_at(sigs, i + 1).as(s"sig_$i"))
   }
 
   /** 64-bit SimHash over word hashes — row-local (array fold, no shuffle).

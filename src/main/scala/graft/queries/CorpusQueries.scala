@@ -350,8 +350,109 @@ object CorpusQueries {
       .select(col("doc_id"), col("gh"), col("sel"), col("selh"))
   }
 
+  /** Incremental (delta-vs-corpus) dedup — the recurring-INGEST shape: a
+    * new batch arrives and must be deduplicated against the existing
+    * corpus WITHOUT re-pairing the corpus with itself (the pairwise
+    * families' job is the one-time backfill; this is the nightly run).
+    * Delta = docs with `doc_id % 10 = 0` (the deterministic stand-in for
+    * "yesterday's corpus + today's batch"); corpus = the rest. Each delta
+    * doc is classified: `exact_dup` (byte-identical text exists in the
+    * corpus — md5 match), `near_dup` (MinHash-LSH candidate whose exact
+    * shingle Jaccard ≥ 0.5), or `unique`; with the best-matching corpus
+    * doc (highest Jaccard, ties → lowest id) and the integer milli-Jaccard.
+    *
+    * Candidates come from the engine-portable arithmetic MinHash
+    * ([[graft.operators.Dedup.arithMinhashColumns]], q_minhash_arith's 8
+    * signatures) banded 4×2 — a delta doc and corpus doc are candidates
+    * iff some band agrees on BOTH its signatures (band key =
+    * `sig_{2i}·p + sig_{2i+1}`, collision-free: sigs < p = 2³¹−1).
+    *
+    * Scale shape — BROADCAST-DELTA: the corpus NEVER shuffles, not even
+    * its keys. The delta batch is first collapsed to DISTINCT TEXTS
+    * (md5-keyed — clone-heavy batches collapse before anything else;
+    * every per-text column is a pure function of the text, so the dedup
+    * is value-deterministic) and its md5 set, band table and shingle
+    * arrays broadcast. The corpus scan then does everything map-side:
+    * probes the md5 set (exact), probes the band table and verifies the
+    * exact Jaccard against the broadcast shingles IN THE SAME SCAN, so
+    * only ≥-threshold hits — (delta_text, cid, jac) triples — ever leave
+    * an executor. Clone amplification is linear, not quadratic: each
+    * corpus row pays one Jaccard per MATCHED DISTINCT delta text (≤4
+    * band collisions), never per delta clone; hits fan back out to delta
+    * members through a broadcast join at the end. The first cut of this
+    * query materialized doc-level band-join candidates instead and the
+    * clone-heavy 100× tier ran >10 min of quadratic verify before being
+    * killed — the A/B is in SCALING.md. One corpus scan per pass (exact
+    * + near = two), tiny hit-level shuffles only. */
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // hash each shingle ONCE; sigs and the verify set both derive from the
+    // hash array. Verify runs on hashed-shingle SETS (array<long> — the
+    // standard minhash-verify convention; primitive merge, cheap to carry
+    // through the band explode), with the oracle computing the identical
+    // hashed sets.
+    val sigsOf = graft.expr.MinhashSigs.minhash_sigs(col("hsh"))
+    val base = docs
+      .withColumn("hsh",
+        transform(TextFunctions.wordShingles(col("text"), 3),
+          graft.operators.Dedup.polyHash(_)))
+      .select(
+        (col("doc_id") +: md5(col("text").cast("binary")).as("m") +:
+          array_sort(array_distinct(col("hsh"))).as("sh") +:
+          (0 until 8).map(i => element_at(sigsOf, i + 1).as(s"sig_$i"))): _*)
+    val delta = base.filter(col("doc_id") % 10 === 0)
+    val corp = base.filter(col("doc_id") % 10 =!= 0)
+    // one row per distinct delta TEXT (sh/sigs identical within a family)
+    val dTexts = delta.dropDuplicates("m")
+    val bandsOf = (0 until 4).map(i =>
+      struct(lit(i).as("bi"),
+        (col(s"sig_${2 * i}") * lit(2147483647L) + col(s"sig_${2 * i + 1}"))
+          .as("b")))
+    val dBands = dTexts
+      .select(col("m").as("d_m"), explode(array(bandsOf: _*)).as("db"))
+      .select(col("d_m"), col("db.bi").as("bi"), col("db.b").as("b"))
+    val dShingles = dTexts.select(col("m").as("d_m"), col("sh").as("dsh"))
+    // exact: corpus probes the broadcast delta md5 set — map-side
+    val exact = corp.join(broadcast(dTexts.select(col("m"))), "m")
+      .groupBy("m").agg(min("doc_id").as("exact_match"))
+    // near: band probe + Jaccard verify inside the corpus scan
+    val hits = corp
+      .select(col("doc_id").as("cid"), col("sh").as("csh"),
+        explode(array(bandsOf: _*)).as("cb"))
+      .select(col("cid"), col("csh"), col("cb.bi").as("bi"), col("cb.b").as("b"))
+      .join(broadcast(dBands), Seq("bi", "b"))
+      .join(broadcast(dShingles), "d_m")
+      // allocation-free codegen two-pointer merge on pre-sorted arrays —
+      // size(array_union(..)) built a hash set + output array PER PROBE
+      // and dominated the clone-heavy 100x tier
+      .withColumn("inter", graft.expr.SortedIntersectSize
+        .sorted_intersect_size(col("dsh"), col("csh")).cast("long"))
+      .withColumn("jac_milli",
+        expr("inter * 1000 div (CAST(size(dsh) + size(csh) AS BIGINT) - inter)"))
+      .filter(col("jac_milli") >= 500L)
+      .select(col("d_m"), col("cid"), col("jac_milli"))
+      .distinct() // a pair can hit in several bands; hit-level, tiny
+    val bestW = Window.partitionBy("d_m")
+      .orderBy(col("jac_milli").desc, col("cid"))
+    val best = hits.withColumn("rw", row_number().over(bestW))
+      .filter(col("rw") === 1)
+      .select(col("d_m").as("m"), col("cid").as("near_match"), col("jac_milli"))
+    delta.select("doc_id", "m")
+      .join(broadcast(exact), Seq("m"), "left")
+      .join(broadcast(best), Seq("m"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("matched_id"),
+        when(col("exact_match").isNotNull, 1000L)
+          .otherwise(col("jac_milli")).as("jac_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow"         -> (winnow _),
+    "q_delta_dedup"    -> (deltaDedup _),
     "q_para_dedup"     -> (paraDedup _),
     "q_substring_dedup" -> (substringDedup _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -362,6 +463,66 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Incremental dedup: delta (doc_id%10=0) vs corpus — exact md5 match,
+    // else arith-MinHash 4x2 band candidates verified by exact shingle
+    // Jaccard >= 0.5 (best match: highest jac, ties lowest id)
+    "q_delta_dedup" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                       ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                              i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) END) AS shingles
+           FROM documents),
+         hs AS (SELECT doc_id, shingles,
+                  list_transform(shingles,
+                    s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+                                     (h, c) -> (h * 31 + c) % 2147483647)) AS hashes
+                FROM sh),
+         sig AS (SELECT doc_id, hashes,
+                  list_min(list_transform(hashes, h -> (h * 1299721 + 7) % 2147483647)) AS s0,
+                  list_min(list_transform(hashes, h -> (h * 15485863 + 11) % 2147483647)) AS s1,
+                  list_min(list_transform(hashes, h -> (h * 32452843 + 13) % 2147483647)) AS s2,
+                  list_min(list_transform(hashes, h -> (h * 49979687 + 17) % 2147483647)) AS s3,
+                  list_min(list_transform(hashes, h -> (h * 67867967 + 19) % 2147483647)) AS s4,
+                  list_min(list_transform(hashes, h -> (h * 86028121 + 23) % 2147483647)) AS s5,
+                  list_min(list_transform(hashes, h -> (h * 104395301 + 29) % 2147483647)) AS s6,
+                  list_min(list_transform(hashes, h -> (h * 122949823 + 31) % 2147483647)) AS s7
+                 FROM hs),
+         bb AS (SELECT doc_id, list_distinct(hashes) AS hset,
+                  s0 * 2147483647 + s1 AS b0, s2 * 2147483647 + s3 AS b1,
+                  s4 * 2147483647 + s5 AS b2, s6 * 2147483647 + s7 AS b3
+                FROM sig),
+         delta AS (SELECT * FROM bb WHERE doc_id % 10 = 0),
+         corp  AS (SELECT * FROM bb WHERE doc_id % 10 <> 0),
+         ex AS (SELECT d.doc_id, min(c.doc_id) AS exact_match
+                FROM (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id % 10 = 0) d
+                JOIN (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id % 10 <> 0) c USING (m)
+                GROUP BY d.doc_id),
+         cand AS (SELECT d.doc_id, c.doc_id AS cid FROM delta d JOIN corp c ON d.b0 = c.b0
+            UNION SELECT d.doc_id, c.doc_id FROM delta d JOIN corp c ON d.b1 = c.b1
+            UNION SELECT d.doc_id, c.doc_id FROM delta d JOIN corp c ON d.b2 = c.b2
+            UNION SELECT d.doc_id, c.doc_id FROM delta d JOIN corp c ON d.b3 = c.b3),
+         jac AS (SELECT cand.doc_id, cand.cid,
+                        (len(d.hset) + len(c.hset)
+                          - len(list_distinct(d.hset || c.hset))) * 1000
+                          // len(list_distinct(d.hset || c.hset)) AS jac_milli
+                 FROM cand JOIN delta d ON cand.doc_id = d.doc_id
+                           JOIN corp c ON cand.cid = c.doc_id),
+         nb AS (SELECT doc_id, cid AS near_match, jac_milli,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY jac_milli DESC, cid) AS rw
+                FROM jac WHERE jac_milli >= 500)
+       SELECT dd.doc_id,
+              CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+                   WHEN nb.near_match IS NOT NULL THEN 'near_dup'
+                   ELSE 'unique' END AS status,
+              CAST(coalesce(ex.exact_match, nb.near_match) AS BIGINT) AS matched_id,
+              CAST(CASE WHEN ex.exact_match IS NOT NULL THEN 1000
+                        ELSE nb.jac_milli END AS BIGINT) AS jac_milli
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+       LEFT JOIN ex USING (doc_id)
+       LEFT JOIN (SELECT * FROM nb WHERE rw = 1) nb USING (doc_id)
+       ORDER BY doc_id""",
     // Winnowing: positioned word-3-gram polyHashes (the q_minhash_arith
     // fold), encoded h*2^31 + (2^31-1-pos) so one list_min per 4-window
     // is min-hash-then-rightmost-pos; rollup pins the selected set via

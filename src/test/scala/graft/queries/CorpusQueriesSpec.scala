@@ -223,6 +223,50 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
   }
 
+  test("delta_dedup: planted exact / near / unique deltas classify correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_fx").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // corpus docs (id % 10 != 0); delta docs (id % 10 == 0):
+    //   20 = byte-identical to corpus 3 -> exact_dup matched 3
+    //   30 = one word changed -> near_dup matched 3 (jac < 1000)
+    //   40 = unrelated -> unique
+    val docs = Seq(
+      (3L, base), (7L, "completely different corpus text with many other words in it"),
+      (20L, base),
+      (30L, base.replace("lazy", "sleepy")),
+      (40L, "zebra xylophone quartz vortex jigsaw plasma nebula prism"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = CorpusQueries.deltaDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(res(20L)._1 == "exact_dup" && res(20L)._2 == 3L && res(20L)._3 == 1000L)
+    assert(res(30L)._1 == "near_dup" && res(30L)._2 == 3L)
+    assert(res(30L)._3 >= 500L && res(30L)._3 < 1000L)
+    assert(res(40L) == ("unique", -1L, -1L))
+  }
+
+  test("delta_dedup: corpus never shuffles — no exchange carries shingle arrays") {
+    val lines = CorpusQueries.deltaDedup(spark, sf).queryExecution.executedPlan
+      .toString.linesIterator.toVector
+    // the band probe and the jaccard verify are broadcast joins inside
+    // the corpus scan: no SHUFFLE exchange may carry the corpus shingle
+    // array (csh) — only the delta batch's own dedup shuffles arrays,
+    // and that side is batch-sized by design
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+      .foreach { case (_, i) =>
+        if (i + 1 < lines.size) {
+          val payload = lines(i + 1)
+          assert(!payload.contains("csh#"),
+            s"shuffle exchange carries corpus shingles:\n$payload")
+        }
+      }
+    assert(lines.exists(_.contains("BroadcastHashJoin")),
+      "delta side must broadcast")
+  }
+
   test("ngram_lm: self-trained model scores every multi-word doc, one row per doc") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sf)
