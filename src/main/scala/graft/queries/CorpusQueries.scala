@@ -350,6 +350,52 @@ object CorpusQueries {
       .select(col("doc_id"), col("gh"), col("sel"), col("selh"))
   }
 
+  /** Winnowing-index similarity pairs — the MOSS use case: find the
+    * most-overlapping document pairs from the SPARSE winnowing index
+    * instead of the full gram stream. [[winnowSelections]] keeps
+    * ~2/(W+1) of the grams with the ≥6-word detection guarantee, so the
+    * inverted index this query joins on is ~2.5× smaller than
+    * [[substringDedup]]'s per-word stream — winnowing's industrial
+    * point. Docs are first collapsed to distinct texts (md5 — identical
+    * docs share every fingerprint and would only report themselves);
+    * pairs of reps sharing ≥ 2 selected gram hashes are scored by the
+    * shared count and the top 50 reported (ties → lowest ids).
+    *
+    * Scale shape: the pair space is generated from the POSTING LISTS of
+    * selected hashes only — one shuffle of (hash, rep) ids (the sparse
+    * index), per-hash pair explode bounded by posting-list length, a
+    * pair rollup, and a TakeOrdered top-50 (no global sort). Clone
+    * families are collapsed before the index, so posting lists are
+    * bounded by genuine cross-text repetition, not duplication; the
+    * boilerplate-hot-hash hazard is the same one [[sourceOverlap]]
+    * documents, bounded here by dropping hashes whose posting list
+    * exceeds 64 reps (a standard MOSS-style stoplist: a fingerprint
+    * shared by >64 distinct texts is boilerplate, not similarity —
+    * dropping it bounds the explode at |list|² ≤ 4096 while keeping
+    * every discriminating fingerprint). */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val reps = documents(s, d)
+      .withColumn("m", md5(col("text").cast("binary")))
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("m").orderBy("doc_id")))
+      .filter(col("rw") === 1)
+      .select(col("doc_id"), col("text"))
+    val postings = winnowSelections(reps)
+      .select(col("doc_id"), explode(col("selh")).as("h"))
+    val lists = postings.groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 64))
+    lists
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
   /** Incremental (delta-vs-corpus) dedup — the recurring-INGEST shape: a
     * new batch arrives and must be deduplicated against the existing
     * corpus WITHOUT re-pairing the corpus with itself (the pairwise
@@ -452,6 +498,7 @@ object CorpusQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow"         -> (winnow _),
+    "q_winnow_pairs"   -> (winnowPairs _),
     "q_delta_dedup"    -> (deltaDedup _),
     "q_para_dedup"     -> (paraDedup _),
     "q_substring_dedup" -> (substringDedup _),
@@ -463,6 +510,41 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Winnowing-index pairs: rep-collapsed docs -> q_winnow's selection
+    // chain -> distinct (doc, hash) postings, stoplisted at 64 -> pair
+    // counts >= 2 -> top-50 (total order: n_shared desc, id_a, id_b)
+    "q_winnow_pairs" ->
+      """WITH reps AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rw
+             FROM documents) WHERE rw = 1),
+         t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM reps),
+         g AS (SELECT doc_id,
+                      CASE WHEN len(ws) < 3 THEN CAST([] AS BIGINT[])
+                           ELSE list_transform(range(1, len(ws) - 1),
+                                  j -> list_reduce(
+                                         list_transform(string_split(array_to_string(ws[j:j+2], ' '), ''),
+                                                        c -> CAST(ascii(c) AS BIGINT)),
+                                         (h, c) -> (h * 31 + c) % 2147483647)) END AS gh
+               FROM t),
+         e AS (SELECT doc_id,
+                      list_transform(range(1, len(gh) + 1),
+                                     i -> gh[i] * 2147483648 + (2147483647 - (i - 1))) AS enc
+               FROM g),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(enc) < 4 THEN CAST([] AS BIGINT[])
+                           ELSE list_distinct(list_transform(range(1, len(enc) - 2),
+                                  j -> list_min(enc[j:j+3]))) END AS sel
+               FROM e),
+         post AS (SELECT DISTINCT doc_id, unnest(list_transform(sel, x -> x // 2147483648)) AS h
+                  FROM s),
+         keep AS (SELECT h FROM post GROUP BY h HAVING count(*) BETWEEN 2 AND 64),
+         pairs AS (SELECT p1.doc_id AS id_a, p2.doc_id AS id_b
+                   FROM post p1 JOIN post p2 USING (h) JOIN keep USING (h)
+                   WHERE p1.doc_id < p2.doc_id)
+       SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+       FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 2
+       ORDER BY n_shared DESC, id_a, id_b LIMIT 50""",
     // Incremental dedup: delta (doc_id%10=0) vs corpus — exact md5 match,
     // else arith-MinHash 4x2 band candidates verified by exact shingle
     // Jaccard >= 0.5 (best match: highest jac, ties lowest id)

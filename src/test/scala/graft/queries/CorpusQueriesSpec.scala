@@ -223,6 +223,28 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
   }
 
+  test("winnow_pairs: shared-span pair surfaces; exact clones collapse to the rep") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_fx").toString
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, s"one two three four five $shared aa bb cc dd ee"),
+      (2L, s"six seven eight nine ten eleven twelve thirteen $shared"),
+      (3L, s"one two three four five $shared aa bb cc dd ee"), // clone of 1
+      (4L, "zulu yankee xray whiskey victor uniform tangoX sierraX romeoX quebecX"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = CorpusQueries.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 20-word shared span guarantees >=2 shared selections
+    assert(pairs.exists { case (a, b, n) => a == 1L && b == 2L && n >= 2L },
+      s"shared-span pair missing: ${pairs.mkString(",")}")
+    // doc 3 is byte-identical to doc 1 -> collapsed, never appears
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
   test("delta_dedup: planted exact / near / unique deltas classify correctly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_fx").toString
