@@ -380,8 +380,15 @@ object CorpusQueries {
         Window.partitionBy("m").orderBy("doc_id")))
       .filter(col("rw") === 1)
       .select(col("doc_id"), col("text"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    // size(selh) > 0 filter whose pushdown INLINES the whole winnow
+    // chain into the Filter (with the enc subtree triplicated) — each
+    // doc then pays the selection ~5x. Measured: 97 s -> 2 s for this
+    // stage at sf0.1. outer emits one null row per empty selection,
+    // dropped on the generated attribute (not inferable away).
     val postings = winnowSelections(reps)
-      .select(col("doc_id"), explode(col("selh")).as("h"))
+      .select(col("doc_id"), explode_outer(col("selh")).as("h"))
+      .filter(col("h").isNotNull)
     val lists = postings.groupBy("h")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 64))
