@@ -439,13 +439,24 @@ object CorpusQueries {
     * + near = two), tiny hit-level shuffles only. */
   def deltaDedup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    deltaClassify(docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0))
+      .orderBy("doc_id")
+  }
+
+  /** [[deltaDedup]]'s classification core over explicit (doc_id, text)
+    * frames — the composable form [[StreamingQueries]]'s per-micro-batch
+    * ingest twin calls with the micro-batch as `deltaDocs`. Output is
+    * per-delta-doc and independent of how the delta is batched (every
+    * classification reads only that doc + the corpus), unsorted. */
+  def deltaClassify(deltaDocs: DataFrame, corpDocs: DataFrame): DataFrame = {
     // hash each shingle ONCE; sigs and the verify set both derive from the
     // hash array. Verify runs on hashed-shingle SETS (array<long> — the
     // standard minhash-verify convention; primitive merge, cheap to carry
     // through the band explode), with the oracle computing the identical
     // hashed sets.
     val sigsOf = graft.expr.MinhashSigs.minhash_sigs(col("hsh"))
-    val base = docs
+    def prep(docs: DataFrame) = docs
       .withColumn("hsh",
         transform(TextFunctions.wordShingles(col("text"), 3),
           graft.operators.Dedup.polyHash(_)))
@@ -453,8 +464,8 @@ object CorpusQueries {
         (col("doc_id") +: md5(col("text").cast("binary")).as("m") +:
           array_sort(array_distinct(col("hsh"))).as("sh") +:
           (0 until 8).map(i => element_at(sigsOf, i + 1).as(s"sig_$i"))): _*)
-    val delta = base.filter(col("doc_id") % 10 === 0)
-    val corp = base.filter(col("doc_id") % 10 =!= 0)
+    val delta = prep(deltaDocs)
+    val corp = prep(corpDocs)
     // one row per distinct delta TEXT (sh/sigs identical within a family)
     val dTexts = delta.dropDuplicates("m")
     val bandsOf = (0 until 4).map(i =>
@@ -500,7 +511,6 @@ object CorpusQueries {
         coalesce(col("exact_match"), col("near_match")).as("matched_id"),
         when(col("exact_match").isNotNull, 1000L)
           .otherwise(col("jac_milli")).as("jac_milli"))
-      .orderBy("doc_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

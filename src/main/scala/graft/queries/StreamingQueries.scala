@@ -299,7 +299,53 @@ object StreamingQueries {
     runAvailableNow(totals, s).orderBy("event_type")
   }
 
+  /** STREAMING ingest dedup — [[CorpusQueries.deltaClassify]] run the way
+    * a production pipeline actually runs it: the delta batch arrives as a
+    * STREAM of new documents and each micro-batch is classified against
+    * the static corpus inside `foreachBatch` (the per-batch frame is a
+    * plain batch DataFrame, so the classification's windows and
+    * aggregates are legal; results append to the sink). Delta = the
+    * stream of docs with `doc_id % 10 = 0`, corpus = the batch rest —
+    * the exact q_delta_dedup semantics, so the ORACLE IS THE SAME SQL.
+    *
+    * Split-safety (stronger than the watermark entries' single-batch
+    * pin): every classification reads only the one delta doc plus the
+    * static corpus, so the sink contents are identical under ANY
+    * micro-batch split — no assert needed; a maxFilesPerTrigger future
+    * would not diverge this entry. At 100 TB the static corpus index
+    * (md5 groups + band table) would be materialized once, not re-derived
+    * per trigger; with AvailableNow here there is exactly one trigger. */
+  def streamDeltaDedup(s: SparkSession, d: String): DataFrame = {
+    if (schemaMemo.size() > 64) schemaMemo.clear()
+    val rawSchema = schemaMemo.computeIfAbsent(s"$d/documents.parquet",
+      p => s.read.parquet(p).schema)
+    val srcPath =
+      if (new java.io.File(s"$d/documents.parquet").isDirectory) s"$d/documents.parquet"
+      else s"$d/documents.parque[t]"
+    val deltaStream = s.readStream.schema(rawSchema).parquet(srcPath)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    val corp = graft.util.Tables.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text")
+    val out = graft.util.TempLayouts.register(
+      java.nio.file.Files.createTempDirectory("graft_stream_delta_out")).toString
+    val ckpt = graft.util.TempLayouts.register(
+      java.nio.file.Files.createTempDirectory("graft_stream_delta_ckpt")).toString
+    val q = deltaStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CorpusQueries.deltaClassify(batch, corp)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_delta" -> (streamDeltaDedup _),
     "q_stream_hourly" -> (streamHourlyCounts _),
     "q_stream_sliding" -> (streamSlidingCounts _),
     "q_stream_enrich" -> (streamStaticEnrich _),
@@ -310,6 +356,9 @@ object StreamingQueries {
     "q_stream_totals" -> (streamRunningTotals _))
 
   val oracle: Map[String, String] = Map(
+    // streaming ingest twin: per-doc classification independent of the
+    // micro-batch split, so the batch oracle applies verbatim
+    "q_stream_delta" -> CorpusQueries.oracle("q_delta_dedup"),
     // emit rule: window end (start + 1 h) ≤ max(ts) − 10 min — the final
     // watermark under AvailableNow; GROUP BY carries mx (constant) so the
     // HAVING can reference it

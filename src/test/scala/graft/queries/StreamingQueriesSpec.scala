@@ -64,4 +64,18 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(n == events.select("user_id", "event_type").distinct().count())
     assert(n > 0)
   }
+
+  test("stream_delta equals the batch delta dedup row-for-row") {
+    // split-safety claim: per-doc classification reads only that doc +
+    // the static corpus, so the streamed sink must equal the batch twin
+    // exactly whatever the micro-batching
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))
+    val streamed = StreamingQueries.streamDeltaDedup(spark, sf)
+      .collect().map(key).toSet
+    val batch = CorpusQueries.deltaDedup(spark, sf).collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
