@@ -85,6 +85,56 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring CUT — the REMOVAL step of Lee et al. 2022 that
+    * [[substringDedup]] only detects: every word position covered by ANY
+    * corpus-duplicated 10-gram is cut from the document and the
+    * remainder re-spliced in order (the policy that removes ALL copies —
+    * both occurrences of a duplicated passage go; re-splicing is what
+    * distinguishes this from document-level dropping). Output per doc:
+    * original and kept word counts and the md5 of the re-spliced text —
+    * pinning the exact reconstruction cross-engine without shipping the
+    * cleaned corpus through the hash gate.
+    *
+    * Scale shape: the gram stream and its corpus-wide occurrence count
+    * are [[substringDedup]]'s (one hash-keyed shuffle, 16-byte keys);
+    * coverage expansion is a bounded ×10 explode of the DUPLICATED grams
+    * only (the rare case); the reconstruction is one per-doc rollup —
+    * `array_sort(collect_list(struct(pos, word)))` — whose groups are
+    * document-sized (the natural parallelism unit; no global sort). Docs
+    * under 10 words carry no grams and survive whole. */
+  def substringCut(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"),
+        size(col("ws")).cast("long").as("n_words"))
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 10)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("gpos"))
+      .select(col("doc_id"), col("gpos"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ws"), (col("gpos") + 1).cast("int"), lit(10))))).as("h"))
+    val dupGrams = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("gpos"))
+    val removed = dupGrams
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + 9)).as("pos"))
+      .distinct()
+    words.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id", "n_words")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          p => p.getField("word"))).cast("binary")).as("cleaned_md5"))
+      .select(col("doc_id"), col("n_words"), col("n_kept"), col("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source n-gram leakage matrix: for every pair of sources, how
     * many DISTINCT 10-grams they share — the train/eval cross-contamination
     * audit run before splitting a corpus into training subsets and held-out
@@ -516,6 +566,7 @@ object CorpusQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow"         -> (winnow _),
     "q_winnow_pairs"   -> (winnowPairs _),
+    "q_substring_cut"  -> (substringCut _),
     "q_delta_dedup"    -> (deltaDedup _),
     "q_para_dedup"     -> (paraDedup _),
     "q_substring_dedup" -> (substringDedup _),
@@ -622,6 +673,33 @@ object CorpusQueries {
        LEFT JOIN ex USING (doc_id)
        LEFT JOIN (SELECT * FROM nb WHERE rw = 1) nb USING (doc_id)
        ORDER BY doc_id""",
+    // Lee et al. cut/re-splice: positions covered by any corpus-duplicated
+    // 10-gram are removed; output pins the re-spliced text via md5.
+    // Fully-cut docs drop (a re-spliced corpus drops empty docs).
+    "q_substring_cut" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(range(0, len(ws) - 10 + 1)) AS gpos, ws
+               FROM w WHERE len(ws) >= 10),
+         gh AS (SELECT doc_id, gpos,
+                       md5(array_to_string(ws[gpos+1:gpos+10], ' ')) AS h
+                FROM g),
+         dup AS (SELECT doc_id, gpos FROM (
+                   SELECT doc_id, gpos, count(*) OVER (PARTITION BY h) AS c
+                   FROM gh) WHERE c > 1),
+         removed AS (SELECT DISTINCT doc_id, pos FROM (
+                       SELECT doc_id, unnest(range(gpos, gpos + 10)) AS pos
+                       FROM dup)),
+         allw AS (SELECT doc_id, len(ws) AS n_words,
+                         unnest(range(0, len(ws))) AS pos, ws
+                  FROM w),
+         kept AS (SELECT a.doc_id, a.n_words, a.pos, a.ws[a.pos + 1] AS word
+                  FROM allw a LEFT JOIN removed r
+                    ON a.doc_id = r.doc_id AND a.pos = r.pos
+                  WHERE r.doc_id IS NULL)
+       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(word, ' ' ORDER BY pos)) AS cleaned_md5
+       FROM kept GROUP BY doc_id, n_words ORDER BY doc_id""",
     // Winnowing: positioned word-3-gram polyHashes (the q_minhash_arith
     // fold), encoded h*2^31 + (2^31-1-pos) so one list_min per 4-window
     // is min-hash-then-rightmost-pos; rollup pins the selected set via

@@ -223,6 +223,30 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
   }
 
+  test("substring_cut: duplicated span cut from BOTH docs, remainder re-spliced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cut_fx").toString
+    val span = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10" // exactly one 10-gram
+    val docs = Seq(
+      (1L, s"keep1 keep2 $span keep3"),
+      (2L, s"$span tail1 tail2 tail3"),
+      (3L, "all unique words here nothing repeats in this doc at all"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = CorpusQueries.substringCut(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5Of(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: the span (positions 2..11) cut -> "keep1 keep2 keep3"
+    assert(res(1L) == ((13L, 3L, md5Of("keep1 keep2 keep3"))))
+    // doc 2: span at 0..9 cut -> "tail1 tail2 tail3"
+    assert(res(2L) == ((13L, 3L, md5Of("tail1 tail2 tail3"))))
+    // doc 3: untouched, md5 of the full text
+    assert(res(3L)._2 == res(3L)._1 &&
+      res(3L)._3 == md5Of("all unique words here nothing repeats in this doc at all"))
+  }
+
   test("winnow_pairs: shared-span pair surfaces; exact clones collapse to the rep") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_wp_fx").toString
