@@ -13,14 +13,22 @@ import java.nio.file.{Files, Paths}
   * Each query's single-run wall seconds (count action, like Bench's) is
   * recorded alongside — indicative timing, not a median-of-3 bench.
   *
-  * Usage: runMain graft.tools.SweepTier <sfDir> <outDir> <cap> [names...]
+  * Usage: runMain graft.tools.SweepTier <sfDir> <outDir> <cap> [--force] [names...]
   */
 object SweepTier {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val cap = args(2).toLong
-    val subset = args.drop(3).toSet
+    // --force: time under queryExecution.toRdd.foreach instead of count().
+    // count() column-prunes a pure-projection query to a scan row-count
+    // (q_winnow measured 0.4 s counted vs 42.6 s forced at 100×) and can
+    // drop the sort under a top-k limit — counted timings UNDERSTATE
+    // map-only queries. Kept opt-in so sweep artifacts stay comparable
+    // with earlier rounds' counted runs; new map-only SCALING numbers
+    // should use --force (or ProbeForce).
+    val force = args.drop(3).contains("--force")
+    val subset = args.drop(3).toSet - "--force"
     val spark = graft.util.Sessions.build("graft-sweep",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     new java.io.File(outDir).mkdirs()
@@ -35,9 +43,15 @@ object SweepTier {
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val n =
+          if (force) {
+            val df = fn(spark, sfDir)
+            df.queryExecution.toRdd.foreach(_ => ())
+            df.count()
+          } else fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        val mode = if (n <= cap) "hash" else "rows-only"
+        val mode0 = if (n <= cap) "hash" else "rows-only"
+        val mode = if (force) mode0 + "-forced" else mode0
         if (n <= cap) {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           written += name
