@@ -49,6 +49,48 @@ object Extract {
     * [[Load.saveStarSchema]]), which this helper also serves. */
   def persistDiskOnly(df: DataFrame): DataFrame = df.persist(StorageLevel.DISK_ONLY)
 
+  /** JSONL source — the line-delimited-JSON format web-scale corpora
+    * actually ship in (one document object per line, usually gzip or
+    * zstd compressed; a training-data extension, no reference analogue).
+    * Compression resolves from the file extension through the Hadoop
+    * codec registry — gzip/bzip2/lz4 out of the box here (zstd text
+    * codecs need the Hadoop NATIVE build, absent in this sandbox; where
+    * present, .zst files read through the same path untouched). Gzip
+    * input is NOT splittable — each .gz shard is one task — so at 100 TB
+    * the standard corpus layout (many medium one-shard files)
+    * parallelizes by FILE COUNT: shard sizing is the parallelism knob,
+    * not record count.
+    *
+    * Always pass the schema: inference reads the whole input once. The
+    * read is text + `from_json` rather than the json file source's
+    * PERMISSIVE `_corrupt_record` — the file source's internal corrupt
+    * column cannot be queried on its own from raw files
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
+    * documented workaround is caching the corpus, wrong at 100 TB) —
+    * while `from_json` over a text column carries the same corrupt-record
+    * contract with no such restriction. Malformed lines surface in
+    * `j._corrupt_record`; [[jsonlCorrupt]] splits clean rows from the
+    * quarantine. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val parseSchema = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read.text(path)
+      .select(col("value"), from_json(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+  }
+
+  /** Clean/quarantine split of a [[readJsonl]] frame: (parsed rows in the
+    * caller's schema, unparseable raw lines). */
+  def jsonlCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    (df.filter(col("j._corrupt_record").isNull)
+      .select("j.*").drop("_corrupt_record"),
+      df.filter(col("j._corrupt_record").isNotNull)
+        .select(col("value").as("raw_line")))
+  }
+
   /** P8/P9 (`extract.py:121-147`): data-quality validation. Note the
     * reference defines but never calls this from main (SURVEY §5) — we wire
     * it into the pipeline for real. */

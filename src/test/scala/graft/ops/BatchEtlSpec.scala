@@ -160,4 +160,31 @@ class BatchEtlSpec extends AnyFunSuite {
       Transform.requireColumns(raw.drop("Call Type"), Seq("Call Type"))
     }
   }
+
+  test("jsonl source round-trips documents through gzip and bzip2; corrupt lines quarantine") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.util.Tables.documents(spark, graft.TestSpark.sf)
+      .select("doc_id", "text", "lang")
+    val schema = docs.schema
+    for (codec <- Seq("gzip", "bzip2")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_jsonl_$codec").toString
+      docs.write.mode("overwrite").option("compression", codec).json(dir)
+      val (clean, corrupt) = Extract.jsonlCorrupt(
+        Extract.readJsonl(spark, dir, schema))
+      assert(corrupt.count() == 0)
+      assert(clean.count() == docs.count())
+      // value-level round-trip, not just counts
+      assert(clean.exceptAll(docs).count() == 0 && docs.exceptAll(clean).count() == 0)
+    }
+    // malformed lines degrade to quarantine rows, not job failure
+    val badDir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    Seq("""{"doc_id": 1, "text": "ok", "lang": "en"}""",
+      """not json at all""",
+      """{"doc_id": "NaN-ish" """).toDF("value")
+      .coalesce(1).write.mode("overwrite").text(badDir)
+    val (clean, corrupt) = Extract.jsonlCorrupt(
+      Extract.readJsonl(spark, badDir, schema))
+    assert(clean.count() == 1 && corrupt.count() == 2)
+  }
 }
