@@ -334,8 +334,15 @@ object StreamingQueries {
       java.nio.file.Files.createTempDirectory("graft_stream_delta_ckpt")).toString
     val q = deltaStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        CorpusQueries.deltaClassify(batch, corp)
+        // the classification references the micro-batch from SIX subtrees
+        // (three broadcasts, exact/best, the final join) and an unpersisted
+        // foreachBatch frame re-reads the source per reference — persist
+        // for the batch's lifetime (the canonical foreachBatch idiom;
+        // measured 170.3 -> 21.5 s at the 100x tier)
+        batch.persist()
+        try CorpusQueries.deltaClassify(batch, corp)
           .write.mode("append").parquet(out)
+        finally { batch.unpersist(); () }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
