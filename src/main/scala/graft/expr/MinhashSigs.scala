@@ -29,6 +29,14 @@ case class MinhashSigs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
 
+  /** Always nullable: an empty (or all-null) shingle array yields a null
+    * result REGARDLESS of the child's nullability — inheriting
+    * `child.nullable` (the UnaryExpression default) violated the contract
+    * for non-nullable children (array() literals, typed Dataset schemas):
+    * collect() threw EXPRESSION_DECODING_FAILED and the optimizer folded
+    * IS NULL checks away (spec-pinned). */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

@@ -82,13 +82,15 @@ object Extract {
   }
 
   /** Clean/quarantine split of a [[readJsonl]] frame: (parsed rows in the
-    * caller's schema, unparseable raw lines). */
+    * caller's schema, unparseable raw lines). Blank/whitespace-only lines
+    * parse to a NULL STRUCT with no corrupt record (from_json's empty-input
+    * behavior) — they quarantine too, not pass as phantom all-null rows
+    * (common in concatenated dumps with double-newline separators). */
   def jsonlCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
-    (df.filter(col("j._corrupt_record").isNull)
-      .select("j.*").drop("_corrupt_record"),
-      df.filter(col("j._corrupt_record").isNotNull)
-        .select(col("value").as("raw_line")))
+    val bad = col("j").isNull || col("j._corrupt_record").isNotNull
+    (df.filter(!bad).select("j.*").drop("_corrupt_record"),
+      df.filter(bad).select(col("value").as("raw_line")))
   }
 
   /** P8/P9 (`extract.py:121-147`): data-quality validation. Note the

@@ -305,12 +305,19 @@ object SelectionQueries {
     * ops are one row_number over high-cardinality (lang, score) groups
     * and the final ≤ |langs|·3-group rollup. */
   def pplBuckets(s: SparkSession, d: String): DataFrame = {
-    val scored = CorpusQueries.ngramLmScores(s, d)
-      .select(col("doc_id"), col("n_bigrams"),
-        expr("avg_micro div 1000").as("ppl_milli"))
-      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
-    val nLang = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val hist = scored.groupBy("lang", "ppl_milli").agg(count(lit(1)).as("cnt"))
+    // snapshot the scored frame: the histogram and the ranking pass both
+    // consume it, and the LM scoring chain downstream of ngramLmScores'
+    // own snapshot (model join + per-doc rollup + lang join) would
+    // otherwise recompute per reference
+    val scored = graft.util.Snapshots.snap(
+      CorpusQueries.ngramLmScores(s, d)
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("avg_micro div 1000").as("ppl_milli"))
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id"))
+    val hist0 = scored.groupBy("lang", "ppl_milli").agg(count(lit(1)).as("cnt"))
+    // per-lang totals from the bounded histogram, not a third corpus pass
+    val nLang = hist0.groupBy("lang").agg(sum("cnt").as("n_lang"))
+    val hist = hist0
       .withColumn("offset",
         coalesce(sum("cnt").over(
           Window.partitionBy("lang").orderBy("ppl_milli")
@@ -359,8 +366,10 @@ object SelectionQueries {
     * row); bucket populations are a 64-group partial-agg broadcast back;
     * selection is a map-side predicate (affine bp threshold); the final
     * rollup has 64 groups. NO corpus-sized shuffle, no window, no sort —
-    * the corpus is scanned twice (population pass + selection pass),
-    * both scans pruned to (vec_id, embedding). */
+    * the corpus is scanned exactly twice (population pass + selection
+    * pass), both scans pruned to (vec_id, embedding). Constructing the
+    * frame runs the population pass eagerly (the ≤64 bucket counts are
+    * bounded driver state, the ngramLm/decontamBloom convention). */
   def diversitySample(s: SparkSession, d: String): DataFrame = {
     val R = 6
     val M = 2147483647L
@@ -374,13 +383,22 @@ object SelectionQueries {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     val withB = emb.select(col("vec_id"), bucket.as("bucket"))
-    val counts = withB.groupBy("bucket").agg(count(lit(1)).as("n_total"))
-    val total = withB.agg(count(lit(1)).as("n"))
-    withB.join(broadcast(counts), "bucket").crossJoin(broadcast(total))
-      .withColumn("t_b", greatest(expr("n div 10 div 64"), lit(1L)))
+    // the ≤64 bucket populations are bounded DRIVER state (the centroid/
+    // codebook convention): collecting them once gives the quota AND the
+    // rebroadcast join side from ONE population pass — the declarative
+    // spelling (broadcast(counts) + crossJoin(broadcast(counts.agg)))
+    // materialized the bucket-assignment scan once per exchange, three
+    // corpus scans x 6 dots/row instead of two
+    val countRows = withB.groupBy("bucket").agg(count(lit(1)).as("n_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = countRows.map(_._2).sum
+    val tB = math.max(n / 10L / 64L, 1L)
+    import s.implicits._
+    val counts = countRows.toSeq.toDF("bucket", "n_total")
+    withB.join(broadcast(counts), "bucket")
       .withColumn("bp",
         pmod(pmod(col("vec_id"), lit(M)) * lit(15485863L) + lit(17L), lit(M)) % 10000L)
-      .withColumn("sel", col("bp") * col("n_total") < col("t_b") * lit(10000L))
+      .withColumn("sel", col("bp") * col("n_total") < lit(tB * 10000L))
       .groupBy("bucket", "n_total")
       .agg(sum(col("sel").cast("long")).as("n_selected"),
         sum(when(col("sel"), pmod(col("vec_id"), lit(1000003L))).otherwise(0L))

@@ -41,4 +41,18 @@ class MinhashSigsSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(1), "empty array must give null sigs")
     assert(!rows(1).isNullAt(1) && rows(1).getSeq[Long](1).length == 8)
   }
+
+  test("nullable even over a NON-nullable child: empty-array null survives collect and IS NULL") {
+    // regression (code review): inheriting child.nullable made a
+    // non-nullable array() literal child declare non-null output while
+    // eval returned null — collect() threw EXPRESSION_DECODING_FAILED
+    // and the optimizer folded IS NULL filters to false
+    val df = spark.range(1)
+      .select(MinhashSigs.minhash_sigs(
+        array().cast("array<string>")).as("sigs"))
+    assert(df.schema("sigs").nullable)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0))
+    assert(df.filter(col("sigs").isNull).count() == 1)
+  }
 }

@@ -177,14 +177,19 @@ class BatchEtlSpec extends AnyFunSuite {
       // value-level round-trip, not just counts
       assert(clean.exceptAll(docs).count() == 0 && docs.exceptAll(clean).count() == 0)
     }
-    // malformed lines degrade to quarantine rows, not job failure
+    // malformed AND blank lines degrade to quarantine rows, not job
+    // failure and not phantom all-null clean rows (blank lines parse to a
+    // NULL struct with no corrupt record — from_json's empty-input case)
     val badDir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
     Seq("""{"doc_id": 1, "text": "ok", "lang": "en"}""",
       """not json at all""",
+      "",
+      "   ",
       """{"doc_id": "NaN-ish" """).toDF("value")
       .coalesce(1).write.mode("overwrite").text(badDir)
     val (clean, corrupt) = Extract.jsonlCorrupt(
       Extract.readJsonl(spark, badDir, schema))
-    assert(clean.count() == 1 && corrupt.count() == 2)
+    assert(clean.count() == 1 && corrupt.count() == 4)
+    assert(clean.filter(col("doc_id").isNull).count() == 0)
   }
 }
