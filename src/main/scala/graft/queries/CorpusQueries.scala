@@ -95,43 +95,62 @@ object CorpusQueries {
     * pinning the exact reconstruction cross-engine without shipping the
     * cleaned corpus through the hash gate.
     *
-    * Scale shape: the gram stream and its corpus-wide occurrence count
-    * are [[substringDedup]]'s (one hash-keyed shuffle, 16-byte keys);
-    * coverage expansion is a bounded ×10 explode of the DUPLICATED grams
-    * only (the rare case); the reconstruction is one per-doc rollup —
-    * `array_sort(collect_list(struct(pos, word)))` — whose groups are
-    * document-sized (the natural parallelism unit; no global sort). Docs
-    * under 10 words carry no grams and survive whole. */
+    * Scale shape (interval-merge form, VERDICT r10 #1): the gram stream
+    * and its corpus-wide occurrence count are [[substringDedup]]'s (one
+    * hash-keyed shuffle, 16-byte keys). After that, the only data that
+    * moves is ONE (doc_id, gpos) row per duplicated gram — no ×10
+    * position explode, no corpus-wide distinct, no per-word anti-join.
+    * Duplicated gram starts roll up per doc (sorted set), fixed-length-10
+    * covered spans are merged into disjoint intervals with index-lambda
+    * HOFs (island start where the gap to the previous start exceeds the
+    * gram width), and the cut itself is pure array arithmetic against the
+    * document's own `ws` array after a doc-granular join: covered
+    * positions = flatten of the merged interval sequences (≤ n_words
+    * elements BY CONSTRUCTION — merging first is what bounds the
+    * degenerate everything-duplicated corpus), kept positions =
+    * array_except against the dense 0..n-1 range (hash-set, O(n)), kept
+    * words = O(1) indexed lookups into ws. Docs under 10 words carry no
+    * grams and survive whole; fully-cut docs drop (re-spliced corpora
+    * drop empty docs — oracle matches). */
   def substringCut(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
+    val docs = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"),
-        posexplode(col("ws")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"),
-        size(col("ws")).cast("long").as("n_words"))
-    val grams = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val grams = docs
       .filter(size(col("ws")) >= 10)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("gpos"))
       .select(col("doc_id"), col("gpos"),
         unhex(md5(concat_ws(" ",
           slice(col("ws"), (col("gpos") + 1).cast("int"), lit(10))))).as("h"))
-    val dupGrams = grams
+    val dupStarts = grams
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") > 1)
-      .select(col("doc_id"), col("gpos"))
-    val removed = dupGrams
-      .select(col("doc_id"),
-        explode(sequence(col("gpos"), col("gpos") + 9)).as("pos"))
-      .distinct()
-    words.join(removed, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id", "n_words")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("word")))),
-          p => p.getField("word"))).cast("binary")).as("cleaned_md5"))
-      .select(col("doc_id"), col("n_words"), col("n_kept"), col("cleaned_md5"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("gpos"))).as("gs"))
+    docs.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("gs", coalesce(col("gs"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      // gs[i] starts span [g, g+9]; spans merge while the next start is
+      // within gram width (gap ≤ 10 keeps coverage contiguous). Island
+      // starts/ends via the previous/next element (1-based element_at;
+      // nested IFs keep the boundary probes guarded).
+      .withColumn("ivs", expr(
+        """filter(transform(gs, (g, i) ->
+             IF(i = 0, g, IF(g > element_at(gs, i) + 10, g, CAST(NULL AS BIGINT)))),
+           x -> x IS NOT NULL)"""))
+      .withColumn("ive", expr(
+        """filter(transform(gs, (g, i) ->
+             IF(i = size(gs) - 1, g + 9,
+                IF(element_at(gs, i + 2) > g + 10, g + 9, CAST(NULL AS BIGINT)))),
+           x -> x IS NOT NULL)"""))
+      .withColumn("kept", expr(
+        """array_except(sequence(0L, CAST(size(ws) - 1 AS BIGINT)),
+                        flatten(zip_with(ivs, ive, (a, b) -> sequence(a, b))))"""))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(kept, p -> element_at(ws, CAST(p + 1 AS INT)))")).cast("binary"))
+          .as("cleaned_md5"))
       .orderBy("doc_id")
   }
 
