@@ -38,10 +38,37 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => subset(n) }
     // Median of 3 runs per query: single-run numbers swing ±30% with
     // machine load, which is larger than most real plan differences.
+    //
+    // Forcing action (VERDICT r10 #2): count() lets Catalyst prune a
+    // MAP-ONLY query (scan + project/filter/generate — no aggregate,
+    // join, sort, window, or exchange anywhere in the physical plan) down
+    // to a scan row-count, so its bench row measures the scan, not the
+    // computation (q_winnow: 0.14 s counted vs 42.6 s forced at 100×).
+    // Such plans are timed under queryExecution.toRdd.foreach instead —
+    // every projected column is actually produced. Queries with any
+    // reducing operator keep count() so rows stay comparable with every
+    // prior round's artifact; their expensive operators sit below the
+    // count and cannot be pruned away wholesale.
+    def isMapOnly(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val reducing = Seq("Aggregate", "Join", "Sort", "Window", "Exchange",
+        "Limit", "Expand", "CoGroup", "MapGroups", "FlatMapGroups")
+      !plan.collect { case p => p.getClass.getSimpleName }
+        .exists(n => reducing.exists(n.contains))
+    }
     val results = selected.map { case (name, fn) =>
-      val times = Seq.fill(3) {
+      // mode decided on the first run's own plan (inside its timed region,
+      // where fn construction has always lived) — no extra fn() call:
+      // several families materialize probe snapshots eagerly at
+      // construction and an untimed extra build would double their wall
+      var forced = false
+      val times = (0 until 3).map { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try {
+          val df = fn(spark, sfDir)
+          if (i == 0) forced = isMapOnly(df.queryExecution.executedPlan)
+          if (forced) df.queryExecution.toRdd.foreach(_ => ())
+          else df.count(): Unit
+        } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // Between queries (never inside a timed region): drop the scratch
