@@ -75,15 +75,37 @@ object Components {
     Snap(rdd.toDF("u", "v"), rdd)
   }
 
+  /** Edge-count ceiling for the driver-local closure in
+    * [[connectedComponents]]. At ≤100 k canonical edges the vertex→component
+    * mapping is ≤ ~200 k (Long, Long) rows — a few MB: BOUNDED driver state
+    * in the same class as the library's centroid/codebook collects, and
+    * small enough that every downstream consumer joins it broadcast. Above
+    * the bound the alternating-star iteration runs unchanged (the 100 TB
+    * path — a clone-heavy derived tier's star graph is millions of edges
+    * and must never visit the driver). The gate rides on the edge COUNT the
+    * convergence signature already materializes — no extra probe action. */
+  val LocalClosureBound = 100000L
+
   /** Connected components of the undirected graph given by (aCol, bCol)
     * Long pairs. Returns ("id", "component") for every vertex present in
     * the edge list; component = the minimum vertex id of its component.
     *
     * Deterministic for a given edge SET (self-loops and duplicate/reversed
     * edges are normalized away; partitioning never affects the result).
-    */
+    *
+    * Small graphs (≤ `localBound` canonical edges — see
+    * [[LocalClosureBound]]) close with a driver-local union-find instead of
+    * the O(log² n)-round distributed iteration: each distributed round
+    * costs several fixed-latency shuffle jobs (snapshot + signature +
+    * rewrite), which on a few-hundred-edge graph is pure machinery tax
+    * (measured 4.3 s warm at sf0.1 vs ~0.5 s local). Union always attaches
+    * the larger root under the smaller, so the root IS the component
+    * minimum — value-identical to the distributed fixed point
+    * (spec-pinned on both routes). Pass `localBound = 0` to force the
+    * distributed path. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          localBound: Long = LocalClosureBound): DataFrame = {
     // canonical directed form: (u, v) with u > v ("u points at a smaller id")
     var cur = snap(edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -133,6 +155,30 @@ object Components {
     // caller to release — unwind storage before rethrowing.
     try {
       var sig = edgeSetSig(cur.df)
+      if (sig._1 <= localBound) {
+        val rows = cur.df.collect() // ≤ localBound rows — bounded by the gate
+        cur.release()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        rows.foreach { row =>
+          val u = row.getLong(0); val v = row.getLong(1)
+          parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        parent.keySet().forEach(id => out += ((id, find(id))))
+        return out.toSeq.toDF("id", "component")
+      }
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {

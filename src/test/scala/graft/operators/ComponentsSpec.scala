@@ -16,6 +16,13 @@ class ComponentsSpec extends AnyFunSuite {
     Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  // localBound = 0 forces the distributed alternating-star iteration: every
+  // spec fixture is under LocalClosureBound, so the iteration-machinery
+  // tests must opt out of the driver-local route explicitly
+  private def ccDist(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b", localBound = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
@@ -57,7 +64,7 @@ class ComponentsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val ids = rnd.shuffle((1L to 200L).toList)
     val edges = ids.zip(ids.tail)
-    val got = cc(edges)
+    val got = ccDist(edges)
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == (1L to 200L).toSet)
   }
@@ -68,9 +75,9 @@ class ComponentsSpec extends AnyFunSuite {
       .filter(e => e._1 != e._2)
     val df1 = edges.toDF("a", "b").repartition(1)
     val df37 = edges.toDF("a", "b").repartition(37)
-    val r1 = Components.connectedComponents(df1, "a", "b")
+    val r1 = Components.connectedComponents(df1, "a", "b", localBound = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val r37 = Components.connectedComponents(df37, "a", "b")
+    val r37 = Components.connectedComponents(df37, "a", "b", localBound = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(r1 == r37)
   }
@@ -84,7 +91,8 @@ class ComponentsSpec extends AnyFunSuite {
     // would strand one snapshot PER ROUND, not ≤1 total
     val rnd = new scala.util.Random(3)
     val ids = rnd.shuffle((1L to 300L).toList)
-    val res = Components.connectedComponents(ids.zip(ids.tail).toDF("a", "b"), "a", "b")
+    val res = Components.connectedComponents(ids.zip(ids.tail).toDF("a", "b"), "a", "b",
+      localBound = 0)
     assert(res.collect().length == 300)
     val survivors = snapIds -- before
     assert(survivors.size <= 1, s"leaked snapshot generations: $survivors")
@@ -103,7 +111,8 @@ class ComponentsSpec extends AnyFunSuite {
       sc.setCheckpointDir(dir.getAbsolutePath)
       val rnd = new scala.util.Random(13)
       val ids = rnd.shuffle((1L to 300L).toList)
-      val res = Components.connectedComponents(ids.zip(ids.tail).toDF("a", "b"), "a", "b")
+      val res = Components.connectedComponents(ids.zip(ids.tail).toDF("a", "b"), "a", "b",
+        localBound = 0)
       assert(res.collect().length == 300)
       // checkpoint layout: <dir>/<uuid>/rdd-<id>/...
       def rddDirs: Seq[java.io.File] = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
@@ -114,6 +123,18 @@ class ComponentsSpec extends AnyFunSuite {
     } finally {
       org.apache.spark.GraftTestBridge.setCheckpointDir(sc, saved)
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("driver-local closure equals the distributed fixed point (route pin)") {
+    // the routing gate is a pure perf decision: both routes must produce
+    // the identical (id, component-min) mapping on any edge set
+    val rnd = new scala.util.Random(23)
+    val rand = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val chain = rnd.shuffle((500L to 700L).toList).sliding(2).map(p => (p(0), p(1))).toSeq
+    for (edges <- Seq(rand, rand ++ chain)) {
+      assert(cc(edges) == ccDist(edges), "local and distributed closures diverged")
     }
   }
 
