@@ -78,13 +78,30 @@ object StreamingQueries {
       case _ => None
     }
 
+  /** State-partition count for the declared streaming entries (VERDICT
+    * r10 #5, measured in [[graft.tools.ProbeStreamParts]] + SCALING.md
+    * r11): a stateful operator materializes one state-store instance PER
+    * shuffle partition PER micro-batch — store init, delta WAL file and
+    * snapshot each — so on entry-sized state (hundreds of keys at every
+    * bench tier) 32 partitions is 4× the fixed I/O of 8 for zero
+    * parallelism gain. The count is pinned into the checkpoint at first
+    * batch from the session conf; results are partition-count-invariant
+    * (the driver hash gate re-proves it every round). SIZING, not
+    * semantics: a real 100 TB stream carries millions of keys and wants
+    * hundreds of state partitions — override per run via
+    * SPARK_GRAFT_STREAM_PARTS, exactly like the seq-pack shard knob. */
+  private def streamStateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   /** Run a streaming aggregate to a parquet sink under AvailableNow and
     * read the sink back. Sink and checkpoint live in temp dirs registered
     * with [[graft.util.TempLayouts]] (deleted at JVM exit — VERDICT r8 #3:
     * a bench session invokes each streaming query 3×, and un-registered
     * dirs accumulated parquet + state-store WAL per invocation, forever).
     * Asserts the single-micro-batch assumption the oracles rest on (see
-    * object doc). */
+    * object doc). Shuffle partitions are scoped to [[streamStateParts]]
+    * for the stream's lifetime (state-partition sizing — the conf is read
+    * once at stream start) and restored after. */
   private def runAvailableNow(agg: DataFrame, s: SparkSession): DataFrame = {
     val out = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_out")).toString
@@ -92,14 +109,21 @@ object StreamingQueries {
       java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     stateStoreProvider.foreach(s.conf.set(providerKey, _))
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val savedParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, streamStateParts)
+    val q =
+      try {
+        val started = agg.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally s.conf.set(partsKey, savedParts)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches <= 1,
       s"file source split into $dataBatches data batches — the oracle's " +
