@@ -227,7 +227,86 @@ object TextQueries {
     * matching the oracle SQL's `doc_id % 8`. */
   def seqPack(s: SparkSession, d: String): DataFrame = seqPackSharded(s, d, 8)
 
+  /** LAION-style image-text PAIR curation (VERDICT r10 #7): filter pairs
+    * on BOTH media metadata (decoded from the binary payload) and caption
+    * quality signals, in one pass. The pair table is synthesized
+    * deterministically from `documents` — each doc gets a payload whose
+    * leading bytes are a real PNG signature + IHDR carrying
+    * arithmetic-derived dimensions, except every 13th doc which gets a
+    * JPEG SOI prefix (the non-PNG arm the media gate must DROP) — and the
+    * ENGINE side recovers the dims by parsing the payload bytes
+    * ([[graft.operators.Multimodal.pngWidth]]/`pngHeight` — hex→conv
+    * column expressions, scan-speed header reads, no decoder round-trip),
+    * so the oracle's arithmetic twin gates the full synthesize→parse
+    * round trip.
+    *
+    * Curation rules (the standard LAION-2B shape: CLIP-score aside, the
+    * metadata gates are exactly these): PNG only, min dimension ≥ 128,
+    * aspect ratio within 3:1 either way (integer cross-multiplied — no
+    * float boundary), caption ≥ 20 chars and ≥ 5 words, language
+    * allowlist. 100 TB posture: pairs arrive as records (payload +
+    * caption in one row, the LAION parquet layout), so the whole policy
+    * is ONE map-only scan-project-filter — no join, no shuffle; the
+    * payload column is read only for its leading page (header parse), and
+    * Catalyst prunes it entirely from the output. */
+  def pairCuration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val be32 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
+    val wGen = (lit(64L) + pmod(col("doc_id"), lit(1984L))).cast("int")
+    val hGen = (lit(64L) + pmod(col("doc_id") * 7L, lit(1984L))).cast("int")
+    val pngPayload = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
+      be32(wGen), be32(hGen),
+      unhex(lit("0806000000"))) // bit depth / color type / compression+filter+interlace
+    val jpgPayload = unhex(lit("FFD8FFE000104A464946"))
+    val pairs = documents(s, d).select(
+      col("doc_id"), col("lang"), col("text"),
+      when(pmod(col("doc_id"), lit(13L)) === 0L, jpgPayload)
+        .otherwise(pngPayload).as("payload"))
+    pairs
+      .select(
+        col("doc_id"), col("lang"),
+        graft.operators.Multimodal.pngWidth(col("payload")).as("width"),
+        graft.operators.Multimodal.pngHeight(col("payload")).as("height"),
+        wordCount(col("text")).as("n_words"),
+        length(col("text")).as("n_chars"))
+      .filter(col("width").isNotNull && col("height").isNotNull) // PNG gate
+      .filter(col("width") >= 128 && col("height") >= 128)
+      .filter(col("width") * 3 >= col("height") && col("height") * 3 >= col("width"))
+      .filter(col("n_chars") >= 20 && col("n_words") >= 5)
+      .filter(col("lang").isInCollection(Seq("en", "es", "fr", "de")))
+      .orderBy("doc_id")
+  }
+
+  /** BPE tokenizer training, the step that dominates at corpus scale: the
+    * adjacent-symbol-pair count of the first merge iteration (Sennrich et
+    * al. 2016 — each iteration merges the argmax pair and re-counts; the
+    * loop is driver-side in any real fitter, the COUNT is the distributed
+    * work). Plan shape is the 100 TB one: occurrences collapse to
+    * (word, count) FIRST — the pair explode then runs over the vocabulary
+    * (≈√corpus and sublinear in practice), not over every corpus token,
+    * and the first shuffle carries words, the second 2-char pairs.
+    * Words shorter than 2 chars contribute nothing (the filter also keeps
+    * Spark's sequence() from counting down — the q_chunk regression).
+    * Top 50 with a total-order tiebreak (cnt desc, pair asc). */
+  def bpeMergePairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("word_cnt"))
+    vocab
+      .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"),
+        col("word_cnt"))
+      .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges"        -> (bpeMergePairs _),
+    "q_pair_curation"     -> (pairCuration _),
     "q_frame_slices"      -> (frameSlices _),
     "q_chunk"             -> (chunkDocs _),
     "q_seq_pack"          -> (seqPack _),
@@ -247,6 +326,36 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      """WITH v AS (SELECT word, count(*) AS word_cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                    WHERE length(word) >= 2 GROUP BY word),
+            p AS (SELECT unnest(list_transform(range(1, length(word)),
+                                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+                         word_cnt
+                  FROM v)
+         SELECT pair, CAST(sum(word_cnt) AS BIGINT) AS cnt
+         FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair LIMIT 50""",
+    // the oracle derives dims from the GENERATION rule; the engine parses
+    // them back out of the payload bytes — a hash match gates the whole
+    // synthesize→parse round trip plus every curation predicate
+    "q_pair_curation" ->
+      """SELECT doc_id, lang,
+                CAST(64 + doc_id % 1984 AS INT) AS width,
+                CAST(64 + (doc_id * 7) % 1984 AS INT) AS height,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars
+         FROM documents
+         WHERE doc_id % 13 <> 0
+           AND 64 + doc_id % 1984 >= 128
+           AND 64 + (doc_id * 7) % 1984 >= 128
+           AND (64 + doc_id % 1984) * 3 >= 64 + (doc_id * 7) % 1984
+           AND (64 + (doc_id * 7) % 1984) * 3 >= 64 + doc_id % 1984
+           AND length(text) >= 20
+           AND len(string_split(text, ' ')) >= 5
+           AND lang IN ('en','es','fr','de')
+         ORDER BY doc_id""",
     "q_chunk" ->
       """WITH ks AS (SELECT doc_id, text,
                 unnest(range(0, CAST(floor((greatest(length(text),1) - 1) / 150.0) AS BIGINT) + 1)) AS k

@@ -83,4 +83,20 @@ class QueriesSpec extends AnyFunSuite {
       .select("dim_id").collect().map(_.getInt(0).toLong)
     assert(ids.toSeq == (0L until ids.length).toSeq)
   }
+
+  test("pair curation: media gate drops the JPEG arm and dims survive the synthesize→parse round trip") {
+    val rows = TextQueries.pairCuration(spark, sf)
+      .select("doc_id", "width", "height").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(id % 13 != 0, s"doc $id has the JPEG payload — the PNG gate must drop it")
+      // the engine PARSED these out of the payload bytes; they must equal
+      // the generation rule, or the PNG header synth/parse disagrees
+      assert(w == 64 + (id % 1984), s"doc $id width parse mismatch: $w")
+      assert(h == 64 + (id * 7 % 1984), s"doc $id height parse mismatch: $h")
+      assert(w >= 128 && h >= 128 && w * 3 >= h && h * 3 >= w,
+        s"doc $id violates the dim/aspect gates: ${w}x$h")
+    }
+  }
 }
