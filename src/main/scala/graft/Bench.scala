@@ -49,12 +49,31 @@ object Bench {
     // reducing operator keep count() so rows stay comparable with every
     // prior round's artifact; their expensive operators sit below the
     // count and cannot be pruned away wholesale.
-    def isMapOnly(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-      val reducing = Seq("Aggregate", "Join", "Sort", "Window", "Exchange",
-        "Limit", "Expand", "CoGroup", "MapGroups", "FlatMapGroups")
-      !plan.collect { case p => p.getClass.getSimpleName }
+    // Decided on the OPTIMIZED LOGICAL plan, not the physical one: under
+    // AQE (default-on) `executedPlan` is a leaf AdaptiveSparkPlanExec
+    // wrapper, so collecting physical node names sees nothing and every
+    // query looks map-only (the r11 first capture forced all 142 rows —
+    // caught by the gate's mode-flip list being the whole surface). The
+    // logical tree always carries the reducing operators. Top-level
+    // Sorts are the presentation orderBy every declared query ends in —
+    // count() prunes them (so they never contributed to counted rows)
+    // and the forcing action executes them (same protocol as ProbeForce,
+    // whose numbers SCALING.md already carries); they are stripped before
+    // the reducing-operator test, while a non-top Sort stays reducing.
+    def isMapOnly(qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+      @scala.annotation.tailrec
+      def body(p: LogicalPlan): LogicalPlan = p match {
+        case s: Sort => body(s.child)
+        case other   => other
+      }
+      val reducing = Seq("Aggregate", "Join", "Sort", "Window", "Limit",
+        "Expand", "CoGroup", "MapGroups", "FlatMapGroups", "Repartition",
+        "Deduplicate", "Distinct", "Intersect", "Except", "Offset")
+      !body(qe.optimizedPlan).collect { case p => p.getClass.getSimpleName }
         .exists(n => reducing.exists(n.contains))
     }
+    val forcedSet = scala.collection.mutable.Set[String]()
     val results = selected.map { case (name, fn) =>
       // mode decided on the first run's own plan (inside its timed region,
       // where fn construction has always lived) — no extra fn() call:
@@ -65,12 +84,13 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
-          if (i == 0) forced = isMapOnly(df.queryExecution.executedPlan)
+          if (i == 0) forced = isMapOnly(df.queryExecution)
           if (forced) df.queryExecution.toRdd.foreach(_ => ())
           else df.count(): Unit
         } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      if (forced) forcedSet += name
       // Between queries (never inside a timed region): drop the scratch
       // state this query leaked so later queries aren't taxed by it —
       // round 6 measured untouched queries 2-4× slower late in the
@@ -90,7 +110,10 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration":${fmt(calibration)},"queries":$qs,"sf":"$sfDir"}"""
+    // "forced": rows timed under toRdd.foreach (map-only plans) — NOT
+    // comparable with a prior round's counted row for the same query
+    val forcedJson = forcedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration":${fmt(calibration)},"forced":$forcedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Persist the full record to a file so per-round comparisons never need
     // stdout forensics, print the full line, then end stdout with a SHORT
     // always-parseable summary — if the capture truncates the long line
@@ -139,8 +162,21 @@ object Bench {
         "[bench-gate] calibration=%.4fs prior=%s shift=%.3f bound=%.2fx",
         Double.box(calibration), priorCalib.map(p => f"$p%.4fs").getOrElse("n/a"),
         Double.box(shift), Double.box(bound)))
+      // prior artifacts record which rows were FORCED (toRdd.foreach on a
+      // map-only plan); a query forced now but counted in the ref measured
+      // different work then — its ratio is a mode flip, not a regression
+      val priorForced: Set[String] = {
+        val pf = java.util.regex.Pattern.compile("\"forced\":\\[([^\\]]*)\\]").matcher(refText)
+        if (pf.find())
+          pf.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet
+        else Set.empty
+      }
+      val modeFlipped = forcedSet.toSet -- priorForced
+      if (modeFlipped.nonEmpty)
+        System.err.println(s"[bench-gate] mode-flipped (forced now, counted in ref — exempt): ${modeFlipped.toSeq.sorted.mkString(",")}")
       val regressed = results.toSeq.flatMap { case (name, sec) =>
-        prior.get(name).filter(p => sec > p * shift * bound + 0.2).map(p => (name, p, sec))
+        if (modeFlipped(name)) None
+        else prior.get(name).filter(p => sec > p * shift * bound + 0.2).map(p => (name, p, sec))
       }
       regressed.foreach { case (name, p, sec) =>
         System.err.println(s"[bench-gate] $name regressed: ${fmt(p)} (norm ${fmt(p * shift)}) -> ${fmt(sec)} s")
