@@ -1,6 +1,34 @@
 package graft
 import java.nio.file.{Files, Paths}
 object Bench {
+  /** Is this query's timed action safe as `count()`, or must it be FORCED
+    * (`toRdd.foreach`)? Decided on the OPTIMIZED LOGICAL plan, not the
+    * physical one: under AQE (default-on) `executedPlan` is a leaf
+    * AdaptiveSparkPlanExec wrapper, so collecting physical node names sees
+    * nothing and every query looks map-only (the first r11 capture forced
+    * all 142 rows — caught by the gate's mode-flip list being the whole
+    * surface). The logical tree always carries the reducing operators.
+    * Top-level Sorts are the presentation orderBy every declared query
+    * ends in — count() prunes them (so they never contributed to counted
+    * rows) and the forcing action executes them (same protocol as
+    * ProbeForce, whose numbers SCALING.md already carries); they are
+    * stripped before the reducing-operator test, while a non-top Sort
+    * stays reducing. Contract spec-pinned in BenchModeSpec. */
+  private[graft] def isMapOnly(
+      qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+    @scala.annotation.tailrec
+    def body(p: LogicalPlan): LogicalPlan = p match {
+      case s: Sort => body(s.child)
+      case other   => other
+    }
+    val reducing = Seq("Aggregate", "Join", "Sort", "Window", "Limit",
+      "Expand", "CoGroup", "MapGroups", "FlatMapGroups", "Repartition",
+      "Deduplicate", "Distinct", "Intersect", "Except", "Offset")
+    !body(qe.optimizedPlan).collect { case p => p.getClass.getSimpleName }
+      .exists(n => reducing.exists(n.contains))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,30 +77,6 @@ object Bench {
     // reducing operator keep count() so rows stay comparable with every
     // prior round's artifact; their expensive operators sit below the
     // count and cannot be pruned away wholesale.
-    // Decided on the OPTIMIZED LOGICAL plan, not the physical one: under
-    // AQE (default-on) `executedPlan` is a leaf AdaptiveSparkPlanExec
-    // wrapper, so collecting physical node names sees nothing and every
-    // query looks map-only (the r11 first capture forced all 142 rows —
-    // caught by the gate's mode-flip list being the whole surface). The
-    // logical tree always carries the reducing operators. Top-level
-    // Sorts are the presentation orderBy every declared query ends in —
-    // count() prunes them (so they never contributed to counted rows)
-    // and the forcing action executes them (same protocol as ProbeForce,
-    // whose numbers SCALING.md already carries); they are stripped before
-    // the reducing-operator test, while a non-top Sort stays reducing.
-    def isMapOnly(qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
-      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
-      @scala.annotation.tailrec
-      def body(p: LogicalPlan): LogicalPlan = p match {
-        case s: Sort => body(s.child)
-        case other   => other
-      }
-      val reducing = Seq("Aggregate", "Join", "Sort", "Window", "Limit",
-        "Expand", "CoGroup", "MapGroups", "FlatMapGroups", "Repartition",
-        "Deduplicate", "Distinct", "Intersect", "Except", "Offset")
-      !body(qe.optimizedPlan).collect { case p => p.getClass.getSimpleName }
-        .exists(n => reducing.exists(n.contains))
-    }
     val forcedSet = scala.collection.mutable.Set[String]()
     val results = selected.map { case (name, fn) =>
       // mode decided on the first run's own plan (inside its timed region,
