@@ -123,13 +123,36 @@ object AnalyticsQueries {
       .orderBy("col_name")
   }
 
+  /** Hot-key aggregation through [[graft.operators.Skew.saltedSumCount]],
+    * declared as an oracle-gated query: event_type has single-digit
+    * cardinality, so at 100 TB a plain `groupBy(event_type)` concentrates
+    * the whole reduce on a handful of reducers — the salted two-phase plan
+    * spreads each key over `saltFactor` partials first, then merges the
+    * (key, salt) partials in a catalog-sized final aggregate. The oracle is
+    * the UNSALTED spelling, so a hash match proves the rewrite is
+    * value-neutral. Values sum in exact integer milli-units (floor(v·1000)
+    * — IEEE-identical in both engines) so no accumulation order can
+    * diverge; the salt column never reaches the output. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      floor(col("value") * lit(1000d)).cast("long").as("v_milli"))
+    graft.operators.Skew.saltedSumCount(ev, "event_type", "v_milli", saltFactor = 8)
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_funnel"    -> (funnel _),
-    "q_retention" -> (retention _),
-    "q_profile"   -> (profileOrders _),
+    "q_funnel"     -> (funnel _),
+    "q_retention"  -> (retention _),
+    "q_profile"    -> (profileOrders _),
+    "q_salted_agg" -> (saltedAgg _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT event_type,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli,
+                count(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                     WHERE event_type = 'view' GROUP BY user_id),

@@ -304,7 +304,71 @@ object TextQueries {
       .limit(50)
   }
 
+  /** Canonical Unicode normalization over the raw corpus — the ingest-time
+    * transform every training pipeline runs FIRST (two byte-different
+    * spellings of one grapheme defeat every downstream fingerprint):
+    * NFC-compose, controls→space, collapse space runs, trim — all inside
+    * [[graft.expr.NormalizeText]], a codegen-participating expression, so
+    * the normalize→length→md5 chain is one WholeStageCodegen span over the
+    * scan. The fixture prepends a decomposed `e`+U+0301 / `A`+U+030A pair,
+    * a BEL, a VT and DEL plus ragged spacing so the oracle (utf8proc's
+    * `nfc_normalize` + the regex spelling) gates every rule, not just the
+    * ASCII identity path. Map-only: zero shuffles at any corpus size. */
+  def normalizeText(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      lit("e\u0301 A\u030A\u0007tab  "), col("text"), lit(" \u000B\u007F x  "))
+    documents(s, d)
+      .select(col("doc_id"), graft.expr.NormalizeText.normalize_text(raw).as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).as("n_chars_norm"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Main-content extraction from raw HTML — the step between the crawl
+    * and every text operator above (the trafilatura/resiliparse slot in a
+    * CommonCrawl-lineage pipeline). Deterministic wrapper synthesis makes
+    * the oracle gate the FULL strip contract: `<script>`/`<style>` blocks
+    * (content and all) drop first, remaining tags become spaces, the six
+    * standard entities decode (`&amp;` last, as any entity decoder must),
+    * whitespace collapses. Regex-only — Java and RE2 agree on every
+    * pattern used (no backreferences, which RE2 lacks: script and style
+    * strip separately). One map-only scan; the payload never shuffles. */
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T</title><style type=\"text/css\">p { color: #333; }" +
+        "</style><script>var nav = \"<p>menu</p>\";</script></head>" +
+        "<body><h1>Title</h1><p class=\"main\">"),
+      col("text"),
+      lit("</p><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+        "<div id=\"footer\"><a href=\"/about\">about</a> | <a href=\"/x\">x</a>" +
+        "</div></body></html>"))
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags   = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val clean = trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+    documents(s, d)
+      .select(col("doc_id"), clean.as("extracted"))
+      .select(col("doc_id"),
+        length(col("extracted")).as("n_chars"),
+        md5(col("extracted")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize_text"    -> (normalizeText _),
+    "q_html_extract"      -> (htmlExtract _),
     "q_bpe_merges"        -> (bpeMergePairs _),
     "q_pair_curation"     -> (pairCuration _),
     "q_frame_slices"      -> (frameSlices _),
@@ -326,6 +390,45 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle builds the SAME raw fixture (decomposed combining marks +
+    // controls via chr()) and normalizes with utf8proc's nfc_normalize +
+    // the regex spelling of strip/collapse/trim — a hash match gates the
+    // engine's fused one-pass expression against an independent NFC
+    // implementation on every row
+    "q_normalize_text" ->
+      raw"""WITH t AS (
+             SELECT doc_id,
+                    'e' || chr(769) || ' A' || chr(778) || chr(7) || 'tab  ' ||
+                    text || ' ' || chr(11) || chr(127) || ' x  ' AS raw
+             FROM documents),
+           n AS (
+             SELECT doc_id,
+                    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+                         '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             FROM t)
+         SELECT doc_id, length(norm) AS n_chars_norm, md5(norm) AS norm_md5
+         FROM n ORDER BY doc_id""",
+    "q_html_extract" ->
+      raw"""WITH h AS (
+             SELECT doc_id,
+                    '<html><head><title>T</title><style type="text/css">p { color: #333; }' ||
+                    '</style><script>var nav = "<p>menu</p>";</script></head>' ||
+                    '<body><h1>Title</h1><p class="main">' || text ||
+                    '</p><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>' ||
+                    '<div id="footer"><a href="/about">about</a> | <a href="/x">x</a>' ||
+                    '</div></body></html>' AS html
+             FROM documents),
+           s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+           s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+           s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+           d AS (SELECT doc_id,
+                        replace(replace(replace(replace(replace(replace(t,
+                          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                          '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+                 FROM s3),
+           c AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS extracted FROM d)
+         SELECT doc_id, length(extracted) AS n_chars, md5(extracted) AS text_md5
+         FROM c ORDER BY doc_id""",
     "q_bpe_merges" ->
       """WITH v AS (SELECT word, count(*) AS word_cnt
                     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

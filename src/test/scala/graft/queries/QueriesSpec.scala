@@ -99,4 +99,37 @@ class QueriesSpec extends AnyFunSuite {
         s"doc $id violates the dim/aspect gates: ${w}x$h")
     }
   }
+
+  test("salted aggregation is value-identical to the unsalted groupBy") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Tables.events(spark, sf).select(col("event_type"),
+      floor(col("value") * lit(1000d)).cast("long").as("v_milli"))
+    val plain = ev.groupBy("event_type")
+      .agg(sum("v_milli").as("sum_v_milli"), count(lit(1)).as("cnt"))
+      .orderBy("event_type").collect().toSeq
+    val salted = AnalyticsQueries.saltedAgg(spark, sf).collect().toSeq
+    assert(salted == plain, "salting changed the aggregate values")
+    // and the rewrite actually spreads the reduce: the first aggregate
+    // groups on (key, __salt), visible in the physical plan
+    val plan = AnalyticsQueries.saltedAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"expected a salted partial aggregate:\n$plan")
+  }
+
+  test("html extraction drops script/style blocks, strips tags and decodes entities") {
+    val rows = TextQueries.htmlExtract(spark, sf).limit(5).collect()
+    assert(rows.nonEmpty)
+    // reconstruct one extraction on the driver and compare end-state facts:
+    // the synthesized wrapper contributes a fixed prefix/suffix around text
+    import org.apache.spark.sql.functions._
+    val one = graft.util.Tables.documents(spark, sf)
+      .orderBy("doc_id").limit(1).select("text").head().getString(0)
+    val expectedBody =
+      ("T Title " + one.replaceAll("[ \t\n\r]+", " ").trim +
+        " A & B <tag> \"q\" 's' end about | x").replaceAll(" +", " ").trim
+    val got = TextQueries.htmlExtract(spark, sf).orderBy("doc_id").limit(1)
+      .select("n_chars").head().getInt(0)
+    assert(got == expectedBody.length,
+      s"extracted length $got != driver-side reference ${expectedBody.length}")
+  }
 }
