@@ -407,7 +407,67 @@ object SelectionQueries {
       .orderBy("bucket")
   }
 
+  /** Domain-level curation — the C4/RefinedWeb/FineWeb step the surface
+    * lacked: parse the registered host out of each document's URL, drop
+    * blocklisted domains, and cap the documents any single domain may
+    * contribute (hot-domain caps are how web corpora stop one boilerplate
+    * site from dominating the training mix). URLs are synthesized
+    * deterministically from doc_id with a REALISTIC domain shape — one
+    * mega-site holding ~75% of the corpus plus a ~1000-domain long tail —
+    * so the oracle gates the parse round trip, the blocklist, and the cap
+    * on both regimes.
+    *
+    * 100 TB plan shape (the reason this isn't one window): a plain
+    * `row_number() OVER (PARTITION BY host)` sorts the ENTIRE corpus and
+    * sends 75% of it to the mega-site's single window partition — the
+    * canonical skew faceplant. Instead:
+    *   1. a catalog-sized count finds the over-cap (hot) hosts — broadcast;
+    *   2. the long tail (under cap by definition of the count) bypasses
+    *      sorting entirely via a broadcast anti-join — at web scale this
+    *      is ~all distinct domains;
+    *   3. only hot-host rows are ranked, and those in TWO levels: a
+    *      pre-truncate ranked within (host, input-partition) keeps each
+    *      partition's `cap` smallest doc_ids — any row in the global
+    *      top-cap is necessarily in its partition's top-cap, so this is
+    *      lossless for ANY layout — then the global rank runs over
+    *      ≤ cap·partitions rows per host instead of the host's full row
+    *      count. The mega-site's final sort input is bounded by the
+    *      cluster, not the corpus.
+    * Output (survivor doc_id, host) is layout-invariant: the pre-truncate
+    * keeps a superset of the true top-cap under any partitioning
+    * (spec-pinned against the single-window spelling after an adversarial
+    * repartition). */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val cap = 12
+    val host0 = when(pmod(col("doc_id"), lit(16L)) === 0L, lit("spam.biz"))
+      .when(pmod(col("doc_id"), lit(16L)) === 8L, lit("ads.example"))
+      .when(pmod(col("doc_id"), lit(4L)) =!= 0L, lit("megasite.example"))
+      .otherwise(concat(lit("site-"), pmod(col("doc_id"), lit(997L)), lit(".example")))
+    val url = concat(lit("https://"), host0, lit("/p/"), col("doc_id"))
+    val parsed = documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"))
+      .filter(!col("host").isInCollection(Seq("spam.biz", "ads.example")))
+    val counts = parsed.groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val hot = broadcast(counts.filter(col("n_docs") > cap).select("host"))
+    val pre = parsed.join(hot, Seq("host"), "left_semi")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prk", row_number().over(
+        Window.partitionBy("host", "__pid").orderBy("doc_id")))
+      .filter(col("__prk") <= cap)
+      .drop("__pid", "__prk")
+    val capped = pre
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("host").orderBy("doc_id")))
+      .filter(col("__rk") <= cap)
+      .select("doc_id", "host")
+    val tail = parsed.join(hot, Seq("host"), "left_anti").select("doc_id", "host")
+    capped.unionByName(tail).orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_cap"      -> (domainCap _),
     "q_ppl_buckets"     -> (pplBuckets _),
     "q_diversity_sample" -> (diversitySample _),
     "q_bm25"            -> (bm25 _),
@@ -420,6 +480,25 @@ object SelectionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the plain single-window spelling — a hash match proves
+    // the skew-bypass + two-level-rank plan is value-identical to it
+    "q_domain_cap" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 16 = 0 THEN 'spam.biz'
+                       WHEN doc_id % 16 = 8 THEN 'ads.example'
+                       WHEN doc_id % 4 <> 0 THEN 'megasite.example'
+                       ELSE 'site-' || (doc_id % 997) || '.example' END AS h
+           FROM documents),
+         p AS (SELECT doc_id,
+                      regexp_extract('https://' || h || '/p/' || doc_id,
+                                     '^https://([^/]+)/', 1) AS host
+               FROM u),
+         f AS (SELECT * FROM p WHERE host NOT IN ('spam.biz', 'ads.example')),
+         r AS (SELECT doc_id, host,
+                      row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+               FROM f)
+       SELECT doc_id, host FROM r WHERE rk <= 12 ORDER BY doc_id""",
     // Sign-projection buckets (6 arithPerms integer-weight projections,
     // sequential-fold dots, sign only), equal per-bucket quota
     // T = (N div 10) div 64, affine-bp downsampling, per-bucket audit

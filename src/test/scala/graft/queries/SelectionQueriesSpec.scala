@@ -260,4 +260,35 @@ class SelectionQueriesSpec extends AnyFunSuite {
     assert(res.keySet == Set(100L), s"flagged: ${res.keySet}")
     assert(res(100L)._1 == 7L && res(100L)._2 == 1.0)
   }
+
+  test("domain cap: mega-site capped, tail untouched, blocklist absent") {
+    val rows = SelectionQueries.domainCap(spark, sf).collect()
+    val byHost = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).sorted).toMap
+    assert(!byHost.contains("spam.biz") && !byHost.contains("ads.example"),
+      "blocklisted hosts leaked through")
+    assert(byHost("megasite.example").length == 12, "hot domain not capped at 12")
+    // the cap keeps the LOWEST doc_ids — the deterministic survivor rule
+    val expectedMega = graft.util.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 16 != 0 && id % 16 != 8 && id % 4 != 0)
+      .sorted.take(12).toSeq
+    assert(byHost("megasite.example").toSeq == expectedMega)
+    // tail domains are under cap and pass wholesale (the sort-bypass side)
+    byHost.foreach { case (h, ids) =>
+      if (h != "megasite.example") assert(ids.length <= 12, s"$h over cap")
+    }
+  }
+
+  test("domain cap: two-level rank is layout-invariant (equals single-window under adversarial repartition)") {
+    // the pre-truncate ranks within (host, spark_partition_id) — force a
+    // pathological layout and check the output is byte-identical
+    val base = SelectionQueries.domainCap(spark, sf).collect().toSeq
+    val weird = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try SelectionQueries.domainCap(spark, sf).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(base == weird, "domain cap output depends on partition layout")
+  }
 }
