@@ -417,26 +417,26 @@ object SelectionQueries {
     * so the oracle gates the parse round trip, the blocklist, and the cap
     * on both regimes.
     *
-    * 100 TB plan shape (the reason this isn't one window): a plain
-    * `row_number() OVER (PARTITION BY host)` sorts the ENTIRE corpus and
-    * sends 75% of it to the mega-site's single window partition — the
-    * canonical skew faceplant. Instead:
-    *   1. a catalog-sized count finds the over-cap (hot) hosts — broadcast;
-    *   2. the long tail (under cap by definition of the count) bypasses
-    *      sorting entirely via a broadcast anti-join — at web scale this
-    *      is ~all distinct domains;
-    *   3. only hot-host rows are ranked, and those in TWO levels: a
-    *      pre-truncate ranked within (host, input-partition) keeps each
-    *      partition's `cap` smallest doc_ids — any row in the global
-    *      top-cap is necessarily in its partition's top-cap, so this is
-    *      lossless for ANY layout — then the global rank runs over
-    *      ≤ cap·partitions rows per host instead of the host's full row
-    *      count. The mega-site's final sort input is bounded by the
-    *      cluster, not the corpus.
-    * Output (survivor doc_id, host) is layout-invariant: the pre-truncate
-    * keeps a superset of the true top-cap under any partitioning
-    * (spec-pinned against the single-window spelling after an adversarial
-    * repartition). */
+    * 100 TB plan shape: a naive `row_number() OVER (PARTITION BY host)`
+    * over the full corpus would shuffle everything into window partitions
+    * and send 75% of it to the mega-site's single reducer — the canonical
+    * skew faceplant. Two defenses here:
+    *   1. a catalog-sized count finds the over-cap (hot) hosts —
+    *      broadcast; the long tail (under cap by definition of the count)
+    *      bypasses the window entirely via a broadcast anti-join — at web
+    *      scale that is ~all distinct domains, and none of their rows
+    *      enter the rank shuffle;
+    *   2. for the hot subset, Spark's own `WindowGroupLimit` rewrite
+    *      (the rank-limit pushdown) inserts a PARTIAL per-input-partition
+    *      top-cap before the exchange — the same two-level-rank trick a
+    *      hand-salted pre-truncate would build (a manual
+    *      (host, spark_partition_id) pre-rank was measured to produce one
+    *      extra Exchange + Window over this and was deleted) — so the
+    *      mega-site's final sort input is ≤ cap·partitions rows, bounded
+    *      by the cluster, not the corpus. The spec pins WindowGroupLimit's
+    *      presence in the physical plan so a regression (e.g. an
+    *      optimizer-disabling config or a non-pushable rank spelling)
+    *      fails loudly. */
   def domainCap(s: SparkSession, d: String): DataFrame = {
     val cap = 12
     val host0 = when(pmod(col("doc_id"), lit(16L)) === 0L, lit("spam.biz"))
@@ -451,13 +451,7 @@ object SelectionQueries {
       .filter(!col("host").isInCollection(Seq("spam.biz", "ads.example")))
     val counts = parsed.groupBy("host").agg(count(lit(1)).as("n_docs"))
     val hot = broadcast(counts.filter(col("n_docs") > cap).select("host"))
-    val pre = parsed.join(hot, Seq("host"), "left_semi")
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__prk", row_number().over(
-        Window.partitionBy("host", "__pid").orderBy("doc_id")))
-      .filter(col("__prk") <= cap)
-      .drop("__pid", "__prk")
-    val capped = pre
+    val capped = parsed.join(hot, Seq("host"), "left_semi")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("host").orderBy("doc_id")))
       .filter(col("__rk") <= cap)

@@ -366,7 +366,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus PII audit — the measurement side of the scrubbing step
+    * (q_scrub_pii redacts; release gates need the COUNTS: how much PII of
+    * which class, per source, before/after). The synthetic corpus is
+    * clean, so each doc gets deterministic planted PII (an email, an
+    * E.164-ish phone, an IPv4 — every third doc a second email) and the
+    * oracle gates detector + rollup end-to-end. Patterns are RE2-safe
+    * (no backreferences); counts per class via regexp_count, reduced
+    * map-side into a source-cardinality rollup — one scan, the only
+    * shuffle carries ≤ |sources| partial rows. */
+  def piiStats(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" cc admin"), col("doc_id"), lit("@corp.example.org")))
+        .otherwise(lit("")),
+      lit(" tel +1-555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" host "), pmod(col("doc_id"), lit(256L)), lit("."),
+      pmod(col("doc_id") * 7L, lit(256L)), lit(".0.1"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    documents(s, d)
+      .select(col("source"),
+        regexp_count(planted, lit(emailRe)).as("e"),
+        regexp_count(planted, lit(phoneRe)).as("p"),
+        regexp_count(planted, lit(ipRe)).as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("e").as("n_emails"),
+        sum("p").as("n_phones"),
+        sum("i").as("n_ips"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_stats"         -> (piiStats _),
     "q_normalize_text"    -> (normalizeText _),
     "q_html_extract"      -> (htmlExtract _),
     "q_bpe_merges"        -> (bpeMergePairs _),
@@ -390,6 +427,28 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pii_stats" ->
+      raw"""WITH t AS (
+             SELECT source,
+                    text || ' contact user' || doc_id || '@example.com' ||
+                    CASE WHEN doc_id % 3 = 0
+                         THEN ' cc admin' || doc_id || '@corp.example.org'
+                         ELSE '' END ||
+                    ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                    ' host ' || (doc_id % 256) || '.' || (doc_id * 7 % 256) || '.0.1' AS s
+             FROM documents),
+           c AS (
+             SELECT source,
+                    len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+                    len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS p,
+                    len(regexp_extract_all(s, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS i
+             FROM t)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(e) AS BIGINT) AS n_emails,
+                CAST(sum(p) AS BIGINT) AS n_phones,
+                CAST(sum(i) AS BIGINT) AS n_ips,
+                CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+         FROM c GROUP BY source ORDER BY source""",
     // the oracle builds the SAME raw fixture (decomposed combining marks +
     // controls via chr()) and normalizes with utf8proc's nfc_normalize +
     // the regex spelling of strip/collapse/trim — a hash match gates the

@@ -116,6 +116,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), s"expected a salted partial aggregate:\n$plan")
   }
 
+  test("pii stats: planted counts follow the plant rule exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.piiStats(spark, sf).collect()
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+    val bySource = docs.groupBy(_.getString(1))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ids = bySource(src).map(_.getLong(0))
+      assert(r.getLong(1) == ids.length, s"$src n_docs")
+      // one planted email per doc, a second on doc_id % 3 == 0
+      assert(r.getLong(2) == ids.length + ids.count(_ % 3 == 0), s"$src n_emails")
+      assert(r.getLong(3) == ids.length, s"$src n_phones")
+      assert(r.getLong(4) == ids.length, s"$src n_ips")
+      assert(r.getLong(5) == ids.length, s"$src n_docs_with_pii")
+    }
+  }
+
   test("html extraction drops script/style blocks, strips tags and decodes entities") {
     val rows = TextQueries.htmlExtract(spark, sf).limit(5).collect()
     assert(rows.nonEmpty)

@@ -279,9 +279,19 @@ class SelectionQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("domain cap: two-level rank is layout-invariant (equals single-window under adversarial repartition)") {
-    // the pre-truncate ranks within (host, spark_partition_id) — force a
-    // pathological layout and check the output is byte-identical
+  test("domain cap: rank-limit pushdown bounds the hot host's sort input (WindowGroupLimit present)") {
+    // the 100 TB guarantee: the rank filter must push a PARTIAL
+    // per-input-partition top-cap below the window's exchange, so the
+    // mega-site's reducer sorts <= cap*partitions rows, never the corpus
+    val plan = SelectionQueries.domainCap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — hot-host sort is corpus-sized:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tail bypass (broadcast anti-join) missing:\n$plan")
+  }
+
+  test("domain cap: output is layout-invariant under an adversarial partition count") {
     val base = SelectionQueries.domainCap(spark, sf).collect().toSeq
     val weird = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
