@@ -23,17 +23,12 @@ object TextFunctions {
     regexp_count(text, lit("\\w+|[^\\w\\s]"))
 
   /** Character n-gram distinct count (shingle cardinality — the building
-    * block of n-gram Jaccard similarity). */
+    * block of n-gram Jaccard similarity). Compiled one-pass expression;
+    * the original HOF spelling (`size(array_distinct(transform(sequence(1,
+    * len-n+1), i => substring(text, i, n))))`) materialized two per-row
+    * string arrays — TextExprsSpec pins value equality against it. */
   def charNgramCardinality(text: Column, n: Int = 3): Column =
-    when(length(text) < n, lit(0)).otherwise(
-      size(array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => substring(text, i, lit(n))))))
-
-  /** substring with a per-row start position (functions.substring only takes
-    * literal ints; the SQL form accepts columns). */
-  private def substring(text: Column, pos: Column, len: Column): Column =
-    call_function("substring", text, pos, len)
+    graft.expr.NgramCardinality.ngram_cardinality(text, n)
 
   /** Word n-gram shingles (n consecutive words joined by space); texts
     * shorter than n words fall back to the whole text as one shingle. */
@@ -98,19 +93,15 @@ object TextFunctions {
 
   /** Shannon character entropy in nats — low entropy flags repetitive or
     * degenerate text, high entropy flags binary noise. Order-stable for the
-    * oracle: the distinct characters are SORTED before the fold, so every
-    * engine sums the p·ln(p) terms in the same sequence. O(distinct·len)
-    * per row, still map-only. */
-  def charEntropy(text: Column): Column = {
-    val chars = split(text, "")
-    val n = length(text).cast("double")
-    val uniq = array_sort(array_distinct(chars))
-    when(length(text) === 0, lit(0.0)).otherwise(
-      -aggregate(uniq, lit(0.0), (acc, c) => {
-        val p = size(filter(chars, x => x === c)).cast("double") / n
-        acc + p * log(p)
-      }))
-  }
+    * oracle: the p·ln(p) terms sum in ascending code point order — the
+    * same sequence the original HOF spelling (a sorted-distinct fold with
+    * a per-distinct-character re-scan, O(distinct·len) and two interpreted
+    * lambdas per term; 9.4 s for q_repetition at sf0.1) produced, so the
+    * result is bit-identical and the DuckDB oracles are unchanged.
+    * Compiled one-pass [[graft.expr.CharEntropy]]; TextExprsSpec pins
+    * equality against the HOF spelling on the real corpus. */
+  def charEntropy(text: Column): Column =
+    graft.expr.CharEntropy.char_entropy(text)
 
   /** Deterministic document fingerprint: md5 of the normalized text
     * (lowercase, alphanumerics only) — an exact-dedup key that survives
