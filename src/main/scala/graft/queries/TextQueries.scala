@@ -402,7 +402,35 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-eval metric that pairs
+    * with q_bpe_merges (after fitting a vocab, the question is what
+    * fraction of each language's tokens it covers; OOV spikes are how
+    * under-represented languages are caught before training). Vocab = the
+    * top-1000 corpus words by count (count desc, word asc — total order);
+    * per-lang coverage in basis points, integer floor (exact cross-engine
+    * parity). Scale shape: the vocab is a bounded top-K off a word count
+    * (map-side partials, 2-word-ish shuffle keys), then broadcast back
+    * against the exploded corpus — the corpus-sized side joins map-side
+    * against 1000 keys and reduces to a per-lang rollup; nothing
+    * corpus-sized ever sorts or shuffles wide rows. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(1000)
+      .select("word").withColumn("__in_vocab", lit(1L))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in_vocab"), lit(0L))).as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        floor((col("n_tokens") - col("n_covered")) * lit(10000) / col("n_tokens"))
+          .cast("long").as("oov_bp"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage"    -> (vocabCoverage _),
     "q_pii_stats"         -> (piiStats _),
     "q_normalize_text"    -> (normalizeText _),
     "q_html_extract"      -> (htmlExtract _),
@@ -427,6 +455,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+            v AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM w GROUP BY word
+                                    ORDER BY cnt DESC, word LIMIT 1000)),
+            j AS (SELECT lang,
+                         CASE WHEN word IN (SELECT word FROM v) THEN 1 ELSE 0 END AS c
+                  FROM w)
+         SELECT lang, count(*) AS n_tokens,
+                CAST(sum(c) AS BIGINT) AS n_covered,
+                CAST(floor((count(*) - sum(c)) * 10000 / count(*)) AS BIGINT) AS oov_bp
+         FROM j GROUP BY lang ORDER BY lang""",
     "q_pii_stats" ->
       raw"""WITH t AS (
              SELECT source,
