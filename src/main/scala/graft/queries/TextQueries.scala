@@ -429,7 +429,49 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** The SECOND BPE merge iteration — q_bpe_merges is the count step, this
+    * is the loop: take iteration 1's argmax pair (total order: cnt desc,
+    * pair asc), MERGE it into every vocabulary word (left-to-right
+    * non-overlapping, the BPE contract — `replace` in both engines), and
+    * re-count adjacent symbol pairs over the merged words, the merged pair
+    * occupying one symbol slot (a sentinel char internally; rendered back
+    * with ⟨⟩ marks in the output so the sentinel never leaves the engine).
+    * The driver-side step is ONE bounded row (the argmax) — exactly what a
+    * real fitter's loop collects per iteration; everything corpus-sized
+    * stays the q_bpe_merges shape (occurrences collapse to (word, count)
+    * first; pair explode runs over the vocabulary, never corpus tokens). */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("word_cnt"))
+    val top = vocab
+      .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"),
+        col("word_cnt"))
+      .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(1).select("pair").head().getString(0)
+    val sentinel = "\u0001"
+    val merged = vocab
+      .select(replace(col("word"), lit(top), lit(sentinel)).as("w"), col("word_cnt"))
+      .filter(length(col("w")) >= 2)
+    merged
+      .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"),
+        col("word_cnt"))
+      .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+      .select(
+        replace(col("pair"), lit(sentinel), lit("⟨" + top + "⟩")).as("pair"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_apply"         -> (bpeApply _),
     "q_vocab_coverage"    -> (vocabCoverage _),
     "q_pii_stats"         -> (piiStats _),
     "q_normalize_text"    -> (normalizeText _),
@@ -455,6 +497,28 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // sentinel = chr(1) internally, rendered as chr(10216)/chr(10217)
+    // angle marks around the merged pair — byte-identical to the engine
+    "q_bpe_apply" ->
+      """WITH v AS (SELECT word, count(*) AS word_cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                    WHERE length(word) >= 2 GROUP BY word),
+           p1 AS (SELECT unnest(list_transform(range(1, length(word)),
+                                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+                         word_cnt
+                  FROM v),
+           top AS (SELECT pair FROM (SELECT pair, sum(word_cnt) AS cnt FROM p1 GROUP BY pair
+                                     ORDER BY cnt DESC, pair LIMIT 1)),
+           m AS (SELECT replace(word, (SELECT pair FROM top), chr(1)) AS w, word_cnt FROM v),
+           m2 AS (SELECT w, word_cnt FROM m WHERE length(w) >= 2),
+           p2 AS (SELECT unnest(list_transform(range(1, length(w)),
+                                               i -> substr(w, CAST(i AS INT), 2))) AS pair,
+                         word_cnt
+                  FROM m2),
+           c2 AS (SELECT pair, CAST(sum(word_cnt) AS BIGINT) AS cnt FROM p2 GROUP BY pair)
+         SELECT replace(pair, chr(1), chr(10216) || (SELECT pair FROM top) || chr(10217)) AS pair,
+                cnt
+         FROM c2 ORDER BY cnt DESC, pair LIMIT 20""",
     "q_vocab_coverage" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
             v AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM w GROUP BY word
