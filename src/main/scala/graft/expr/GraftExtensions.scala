@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Constant-folds [[To24Hour]] over string literals at optimization time.
@@ -52,6 +52,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "sorted_intersect_size expects two arguments")
         SortedIntersectSize(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "normalize_text expects exactly one argument")
+        NormalizeText(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "char_entropy expects exactly one argument")
+        CharEntropy(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_cardinality"),
+      new ExpressionInfo(classOf[NgramCardinality].getName, "ngram_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngram_cardinality expects (string, n)")
+        children(1) match {
+          case Literal(n: Int, IntegerType) => NgramCardinality(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"ngram_cardinality: n must be an integer literal, got $other")
+        }
       }))
     ext.injectOptimizerRule(_ => FoldTo24Hour)
   }

@@ -42,6 +42,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == 2)
   }
 
+  test("normalize_text is callable from SQL") {
+    // the combining mark and BEL ride inside the SQL literal via Scala
+    // escapes (Spark SQL's chr() truncates code points above 255)
+    val got = spark.sql(
+      "SELECT normalize_text('e\u0301  a\u0007b  ') AS t")
+      .head().getString(0)
+    assert(got == "\u00E9 a b")
+  }
+
+  test("char_entropy is callable from SQL") {
+    val got = spark.sql("SELECT char_entropy('aaaa') AS e").head().getDouble(0)
+    assert(got == 0.0)
+    val ab = spark.sql("SELECT char_entropy('ab') AS e").head().getDouble(0)
+    assert(math.abs(ab - math.log(2)) < 1e-12)
+  }
+
+  test("ngram_cardinality is callable from SQL and requires a literal n") {
+    val got = spark.sql("SELECT ngram_cardinality('abcabc', 3) AS n").head().getInt(0)
+    assert(got == 3) // windows abc,bca,cab,abc -> 3 distinct
+    val err = intercept[Exception] {
+      spark.sql("SELECT ngram_cardinality('abc', length('x')) AS n").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("integer literal"))
+  }
+
   test("FoldTo24Hour constant-folds literal inputs at plan time") {
     val df = spark.sql("SELECT to_24h('01/15/2023 02:30:00 PM') AS t")
     val optimized = df.queryExecution.optimizedPlan.toString
