@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated per-group quantiles with a SPILLABLE plan.
+  *
+  * Spark's exact `percentile` aggregate buffers a value→count map PER TASK
+  * per group; on a corpus whose measure column has many distinct values the
+  * buffer is corpus-sized and the executor OOMs — found for real when
+  * q_quantiles (three percentile buffers) killed the 8 GiB sweep JVM on the
+  * 60 M-row 100× tier (task OOM in the partial aggregate, stage 3330).
+  * Exact quantiles at scale must not live in an in-memory agg buffer; the
+  * classical fix is to make the distribution EXPLICIT:
+  *
+  *   1. `groupBy(group, value).count()` — a spillable hash aggregate whose
+  *      shuffle carries one row per DISTINCT (group, value), with map-side
+  *      combine doing the per-task compression the percentile buffer was
+  *      attempting, except bounded and spillable;
+  *   2. a per-group window over the distinct values (sort-based,
+  *      disk-spillable) accumulates cumulative counts;
+  *   3. each requested quantile's bracketing positions are located by a
+  *      row-wise range test on [cum − cnt, cum) — no second shuffle — and
+  *      reduced with a catalog-sized min rollup;
+  *   4. the interpolation reproduces `Percentile.getPercentile`'s exact
+  *      arithmetic — `position = q · (N−1)`, `lower = floor`, `higher =
+  *      ceil`, `vLow · (higher − position) + vHigh · (position − lower)` —
+  *      so results are BIT-IDENTICAL to the built-in (spec-pinned), and
+  *      every DuckDB `quantile_cont` oracle is unchanged.
+  *
+  * Worst case (all values distinct) this sorts each group's values — the
+  * irreducible cost of EXACT quantiles — but sort-based operators spill;
+  * the agg-buffer plan just dies. (The approximate-at-scale alternative,
+  * `approx_percentile`'s KLL/t-digest state, trades exactness for O(k)
+  * state; this operator keeps the exact contract the oracles gate.)
+  */
+object ExactQuantiles {
+
+  /** Per-group exact interpolated quantiles of `valueCol` (a double column).
+    * Returns one row per group: (groupCol, <name1>, <name2>, ...) with each
+    * requested (name, q). */
+  def byGroup(df: DataFrame, groupCol: String, valueCol: String,
+              qs: Seq[(String, Double)]): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = counts
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .withColumn("__n", sum("__cnt").over(wAll))
+    // per quantile: pos = q·(n−1); this row holds 0-indexed positions
+    // [cum − cnt, cum); project the bracketing values where they land
+    def posOf(q: Double): Column = lit(q) * (col("__n") - 1L).cast("double")
+    def hit(idx: Column): Column =
+      (col("__cum") - col("__cnt") <= idx) && (idx < col("__cum"))
+    val projected = qs.foldLeft(cum) { case (acc, (name, q)) =>
+      val lower = floor(posOf(q)).cast("long")
+      val higher = ceil(posOf(q)).cast("long")
+      acc
+        .withColumn(s"__lo_$name",
+          when(hit(lower), col(valueCol)).otherwise(lit(null)))
+        .withColumn(s"__hi_$name",
+          when(hit(higher), col(valueCol)).otherwise(lit(null)))
+    }
+    val aggCols = qs.flatMap { case (name, _) =>
+      Seq(min(s"__lo_$name").as(s"__lo_$name"), min(s"__hi_$name").as(s"__hi_$name"))
+    } :+ max("__n").as("__n")
+    val rolled = projected.groupBy(col(groupCol)).agg(aggCols.head, aggCols.tail: _*)
+    val outCols = col(groupCol) +: qs.map { case (name, q) =>
+      val pos = lit(q) * (col("__n") - 1L).cast("double")
+      val lower = floor(pos).cast("long")
+      val higher = ceil(pos).cast("long")
+      // Percentile.getPercentile's exact spelling (operand order preserved)
+      when(lower === higher, col(s"__lo_$name"))
+        .otherwise(col(s"__lo_$name") * (higher.cast("double") - pos) +
+          col(s"__hi_$name") * (pos - lower.cast("double")))
+        .as(name)
+    }
+    rolled.select(outCols: _*)
+  }
+}

@@ -88,13 +88,15 @@ object ExtendedRelationalQueries {
       .orderBy("o_orderkey")
   }
 
-  /** Exact interpolated median per group — Spark `percentile` and DuckDB
-    * `quantile_cont` both sort exact values and linearly interpolate, so the
-    * doubles match bit-for-bit (verified); DECIMAL-rounded anyway. */
+  /** Exact interpolated median per group — computed through
+    * [[graft.operators.ExactQuantiles]] (the spillable (value, count)
+    * rollup; the built-in `percentile` buffer OOM'd the 100× sweep — see
+    * that operator's scaladoc), bit-identical to `percentile(…, 0.5)` and
+    * to DuckDB `quantile_cont` (both sort exact values and linearly
+    * interpolate; verified + spec-pinned); DECIMAL-rounded anyway. */
   def medianAgg(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
+    graft.operators.ExactQuantiles
+      .byGroup(lineitem(s, d), "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5))
       .select(col("l_returnflag"),
         round(col("p50"), 4).cast(DecimalType(18, 4)).cast("double").as("p50"))
       .orderBy("l_returnflag")
@@ -141,14 +143,14 @@ object ExtendedRelationalQueries {
         col("o_orderpriority").asc_nulls_first)
 
   /** Multi-quantile per group: exact interpolated p25/p50/p75 (same
-    * engine-parity argument as [[medianAgg]]). */
+    * engine-parity and spillable-plan argument as [[medianAgg]] — this
+    * query, with THREE percentile buffers, is the one that actually OOM'd
+    * the 8 GiB 100×-sweep JVM; all three quantiles now ride one
+    * (value, count) rollup and one per-group window). */
   def quantilesAgg(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        percentile(col("l_extendedprice"), lit(0.25)).as("q25"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("q50"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("q75"))
+    graft.operators.ExactQuantiles
+      .byGroup(lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
       .select(col("l_returnflag"),
         round(col("q25"), 4).cast(DecimalType(18, 4)).cast("double").as("q25"),
         round(col("q50"), 4).cast(DecimalType(18, 4)).cast("double").as("q50"),

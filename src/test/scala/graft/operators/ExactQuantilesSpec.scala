@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Bit-identity pin: the spillable (value, count) quantile plan must
+  * reproduce the built-in `percentile` aggregate EXACTLY — the q_median /
+  * q_quantiles oracle hashes encode that arithmetic (floor/ceil bracketing,
+  * `vLow·(higher−pos) + vHigh·(pos−lower)`), so a divergence in any branch
+  * (exact-index hit, interpolated, duplicate-heavy, two-value group) would
+  * break the gate silently. */
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("byGroup equals the percentile aggregate bitwise on lineitem") {
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val builtin = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.25)).as("q25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("q50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q75"))
+      .orderBy("l_returnflag").collect()
+    val ours = ExactQuantiles
+      .byGroup(li, "l_returnflag", "l_extendedprice",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
+      .orderBy("l_returnflag").collect()
+    assert(builtin.length == ours.length)
+    builtin.zip(ours).foreach { case (b, o) =>
+      assert(b.getString(0) == o.getString(0))
+      for (i <- 1 to 3) {
+        assert(java.lang.Double.doubleToLongBits(b.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(o.getDouble(i)),
+          s"group ${b.getString(0)} q$i: ${b.getDouble(i)} vs ${o.getDouble(i)}")
+      }
+    }
+  }
+
+  test("byGroup matches percentile on crafted edge groups") {
+    import spark.implicits._
+    // exact-index hits (odd n), interpolation (even n), heavy duplicates,
+    // single-value group, two-value group
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),                       // odd
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 10.0),          // even
+      ("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 7.0),           // dup-heavy
+      ("d", 42.0),                                              // single
+      ("e", 1.0), ("e", 100.0)                                  // two values
+    ).toDF("g", "v")
+    val qs = Seq("q10" -> 0.1, "q25" -> 0.25, "q50" -> 0.5,
+      "q75" -> 0.75, "q90" -> 0.9, "q100" -> 1.0)
+    val builtin = df.groupBy("g")
+      .agg(qs.map { case (n, q) =>
+        percentile(col("v"), lit(q)).as(n)
+      }.head, qs.map { case (n, q) => percentile(col("v"), lit(q)).as(n) }.tail: _*)
+      .orderBy("g").collect()
+    val ours = ExactQuantiles.byGroup(df, "g", "v", qs).orderBy("g").collect()
+    builtin.zip(ours).foreach { case (b, o) =>
+      for (i <- 1 to qs.length) {
+        assert(java.lang.Double.doubleToLongBits(b.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(o.getDouble(i)),
+          s"group ${b.getString(0)} ${qs(i - 1)._1}: ${b.getDouble(i)} vs ${o.getDouble(i)}")
+      }
+    }
+  }
+}
