@@ -70,13 +70,31 @@ object StreamingQueries {
     * (spillable off-heap state, incremental snapshots; classloads and runs
     * hash-identical here — see [[graft.tools.ProbeStateStore]] and the
     * SCALING.md table for the measured cost of each at two tiers).
-    * Overridable per run via SPARK_GRAFT_STATESTORE=rocksdb|default. */
-  private def stateStoreProvider: Option[String] =
+    * Overridable per run via SPARK_GRAFT_STATESTORE=rocksdb|default; with
+    * no override the choice is INPUT-SIZED: sources past ~64 MB of parquet
+    * flip to RocksDB automatically. The flip threshold comes from a real
+    * failure, not taste — the 100× full-surface sweep OOM'd
+    * q_stream_sessions at a 183 MB source because EVERY HDFSBacked state
+    * partition lives in the same local-mode heap (partition count cannot
+    * help); under RocksDB the same entry completes in 28 s with state on
+    * disk. Small sources keep the on-heap provider that won the measured
+    * A/B (1.4-3.1× where state fits), so every bench-tier number is
+    * unchanged. */
+  private def stateStoreProvider(d: String): Option[String] = {
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     sys.env.get("SPARK_GRAFT_STATESTORE") match {
-      case Some("rocksdb") => Some(
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => None
+      case Some("rocksdb") => Some(rocks)
+      case Some(_) => None
+      case None =>
+        val f = new java.io.File(s"$d/events.parquet")
+        val bytes =
+          if (f.isDirectory)
+            Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+          else f.length()
+        if (bytes > (64L << 20)) Some(rocks) else None
     }
+  }
 
   /** State-partition count for the declared streaming entries (VERDICT
     * r10 #5, measured in [[graft.tools.ProbeStreamParts]] + SCALING.md
@@ -90,8 +108,22 @@ object StreamingQueries {
     * semantics: a real 100 TB stream carries millions of keys and wants
     * hundreds of state partitions — override per run via
     * SPARK_GRAFT_STREAM_PARTS, exactly like the seq-pack shard knob. */
-  private def streamStateParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+  private def streamStateParts(d: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", {
+      // input-sized default (the fixed default 8 was measured right for
+      // entry-sized state at the bench tiers, but the 100x full-surface
+      // sweep OOM'd q_stream_sessions: 8 partitions over a 183 MB source
+      // concentrates ~25x more per-task session state than the tier the
+      // default was sized on). One state partition per ~8 MB of source
+      // parquet, floor 8 (the measured fixed-cost optimum), cap 200:
+      // sf0.1 (2 MB) -> 8 unchanged; 100x (183 MB) -> 22; 1000x -> 200.
+      val f = new java.io.File(s"$d/events.parquet")
+      val bytes =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+        else f.length()
+      math.min(200L, math.max(8L, bytes / (8L << 20))).toString
+    })
 
   /** Run a streaming aggregate to a parquet sink under AvailableNow and
     * read the sink back. Sink and checkpoint live in temp dirs registered
@@ -102,16 +134,16 @@ object StreamingQueries {
     * object doc). Shuffle partitions are scoped to [[streamStateParts]]
     * for the stream's lifetime (state-partition sizing — the conf is read
     * once at stream start) and restored after. */
-  private def runAvailableNow(agg: DataFrame, s: SparkSession): DataFrame = {
+  private def runAvailableNow(agg: DataFrame, s: SparkSession, d: String): DataFrame = {
     val out = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_out")).toString
     val ckpt = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    stateStoreProvider.foreach(s.conf.set(providerKey, _))
+    stateStoreProvider(d).foreach(s.conf.set(providerKey, _))
     val partsKey = "spark.sql.shuffle.partitions"
     val savedParts = s.conf.get(partsKey)
-    s.conf.set(partsKey, streamStateParts)
+    s.conf.set(partsKey, streamStateParts(d))
     val q =
       try {
         val started = agg.writeStream
@@ -144,7 +176,7 @@ object StreamingQueries {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"))
-    runAvailableNow(agg, s).orderBy("window_start", "event_type")
+    runAvailableNow(agg, s, d).orderBy("window_start", "event_type")
   }
 
   /** readStream(events) → 10-min watermark → SLIDING 1-hour windows every
@@ -163,7 +195,7 @@ object StreamingQueries {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"))
-    runAvailableNow(agg, s).orderBy("window_start", "event_type")
+    runAvailableNow(agg, s, d).orderBy("window_start", "event_type")
   }
 
   /** STREAM-STATIC dimension enrichment — the canonical production shape
@@ -190,7 +222,7 @@ object StreamingQueries {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("c_mktsegment"), col("cnt"), col("sum_value"))
-    runAvailableNow(agg, s).orderBy("window_start", "c_mktsegment")
+    runAvailableNow(agg, s, d).orderBy("window_start", "c_mktsegment")
   }
 
   /** readStream(events) → 10-min watermark → per-user SESSION windows
@@ -214,7 +246,7 @@ object StreamingQueries {
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("user_id"), col("cnt"))
-    runAvailableNow(agg, s).orderBy("session_start_us", "user_id")
+    runAvailableNow(agg, s, d).orderBy("session_start_us", "user_id")
   }
 
   /** readStream(clicks) ⋈ readStream(purchases) — a watermarked
@@ -248,7 +280,7 @@ object StreamingQueries {
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    runAvailableNow(joined, s).orderBy("click_id", "purchase_id")
+    runAvailableNow(joined, s, d).orderBy("click_id", "purchase_id")
   }
 
   /** readStream(events) → `dropDuplicates(user_id, event_type)` → parquet
@@ -268,7 +300,7 @@ object StreamingQueries {
     val dedup = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    runAvailableNow(dedup, s).orderBy("user_id", "event_type")
+    runAvailableNow(dedup, s, d).orderBy("user_id", "event_type")
   }
 
   /** readStream(events) → `dropDuplicatesWithinWatermark(user_id,
@@ -289,7 +321,7 @@ object StreamingQueries {
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runAvailableNow(dedup, s).orderBy("user_id", "event_type")
+    runAvailableNow(dedup, s, d).orderBy("user_id", "event_type")
   }
 
   /** readStream(events) → `flatMapGroupsWithState` running totals per
@@ -320,7 +352,7 @@ object StreamingQueries {
           Iterator((k, n, tot))
         })
       .toDF("event_type", "n_events", "value_cents")
-    runAvailableNow(totals, s).orderBy("event_type")
+    runAvailableNow(totals, s, d).orderBy("event_type")
   }
 
   /** STREAMING ingest dedup — [[CorpusQueries.deltaClassify]] run the way
