@@ -88,15 +88,18 @@ object ExtendedRelationalQueries {
       .orderBy("o_orderkey")
   }
 
-  /** Exact interpolated median per group — computed through
-    * [[graft.operators.ExactQuantiles]] (the spillable (value, count)
-    * rollup; the built-in `percentile` buffer OOM'd the 100× sweep — see
-    * that operator's scaladoc), bit-identical to `percentile(…, 0.5)` and
-    * to DuckDB `quantile_cont` (both sort exact values and linearly
-    * interpolate; verified + spec-pinned); DECIMAL-rounded anyway. */
+  /** Exact interpolated median per group — routed by input size through
+    * [[graft.operators.ExactQuantiles.byGroupAuto]]: small inputs take the
+    * built-in `percentile` buffer (faster while it fits), large inputs the
+    * spillable (value, count) rollup (the buffer OOM'd the 100× sweep —
+    * see that operator's scaladoc). Both routes are bit-identical to each
+    * other and to DuckDB `quantile_cont` (spec-pinned); DECIMAL-rounded
+    * anyway. */
   def medianAgg(s: SparkSession, d: String): DataFrame =
     graft.operators.ExactQuantiles
-      .byGroup(lineitem(s, d), "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5))
+      .byGroupAuto(lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5),
+        graft.operators.ExactQuantiles.parquetBytes(s"$d/lineitem.parquet"))
       .select(col("l_returnflag"),
         round(col("p50"), 4).cast(DecimalType(18, 4)).cast("double").as("p50"))
       .orderBy("l_returnflag")
@@ -149,8 +152,9 @@ object ExtendedRelationalQueries {
     * (value, count) rollup and one per-group window). */
   def quantilesAgg(s: SparkSession, d: String): DataFrame =
     graft.operators.ExactQuantiles
-      .byGroup(lineitem(s, d), "l_returnflag", "l_extendedprice",
-        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
+      .byGroupAuto(lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75),
+        graft.operators.ExactQuantiles.parquetBytes(s"$d/lineitem.parquet"))
       .select(col("l_returnflag"),
         round(col("q25"), 4).cast(DecimalType(18, 4)).cast("double").as("q25"),
         round(col("q50"), 4).cast(DecimalType(18, 4)).cast("double").as("q50"),

@@ -36,6 +36,23 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("byGroupAuto routes by input size and both routes agree") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("b", 9.0)).toDF("g", "v")
+    val qs = Seq("q50" -> 0.5)
+    val small = ExactQuantiles.byGroupAuto(df, "g", "v", qs, inputBytes = 1L << 20)
+    val big = ExactQuantiles.byGroupAuto(df, "g", "v", qs,
+      inputBytes = ExactQuantiles.SmallInputBytes + 1)
+    // routing: the small route is a plain aggregate (percentile), the big
+    // route carries the rollup's window
+    assert(small.queryExecution.executedPlan.toString.contains("percentile"),
+      "small input did not take the buffer route")
+    assert(big.queryExecution.executedPlan.toString.contains("Window"),
+      "large input did not take the spillable route")
+    // value identity across routes
+    assert(small.orderBy("g").collect().toSeq == big.orderBy("g").collect().toSeq)
+  }
+
   test("byGroup matches percentile on crafted edge groups") {
     import spark.implicits._
     // exact-index hits (odd n), interpolation (even n), heavy duplicates,
