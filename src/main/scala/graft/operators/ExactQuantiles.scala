@@ -58,20 +58,18 @@ object ExactQuantiles {
       df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     } else byGroup(df, groupCol, valueCol, qs)
 
-  /** On-disk size of a parquet table (file or directory of part files). */
-  def parquetBytes(path: String): Long = {
-    val f = new java.io.File(path)
-    if (f.isDirectory)
-      Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-    else f.length()
-  }
-
   /** Per-group exact interpolated quantiles of `valueCol` (a double column).
     * Returns one row per group: (groupCol, <name1>, <name2>, ...) with each
-    * requested (name, q). */
+    * requested (name, q). NULL values are excluded up front — the built-in
+    * `percentile` aggregate skips nulls, and without the filter the
+    * distinct-value rollup would count a null row into `__n` (nulls sort
+    * first under the cumulative window) and shift every quantile position,
+    * making [[byGroupAuto]]'s route choice silently change null semantics
+    * (ADVICE r11 #1). Both routes now agree for any input. */
   def byGroup(df: DataFrame, groupCol: String, valueCol: String,
               qs: Seq[(String, Double)]): DataFrame = {
-    val counts = df.groupBy(col(groupCol), col(valueCol))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__cnt"))
     val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
     val wAll = Window.partitionBy(groupCol)

@@ -99,7 +99,7 @@ object ExtendedRelationalQueries {
     graft.operators.ExactQuantiles
       .byGroupAuto(lineitem(s, d), "l_returnflag", "l_extendedprice",
         Seq("p50" -> 0.5),
-        graft.operators.ExactQuantiles.parquetBytes(s"$d/lineitem.parquet"))
+        graft.util.InputSize.bytes(s, s"$d/lineitem.parquet"))
       .select(col("l_returnflag"),
         round(col("p50"), 4).cast(DecimalType(18, 4)).cast("double").as("p50"))
       .orderBy("l_returnflag")
@@ -154,7 +154,7 @@ object ExtendedRelationalQueries {
     graft.operators.ExactQuantiles
       .byGroupAuto(lineitem(s, d), "l_returnflag", "l_extendedprice",
         Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75),
-        graft.operators.ExactQuantiles.parquetBytes(s"$d/lineitem.parquet"))
+        graft.util.InputSize.bytes(s, s"$d/lineitem.parquet"))
       .select(col("l_returnflag"),
         round(col("q25"), 4).cast(DecimalType(18, 4)).cast("double").as("q25"),
         round(col("q50"), 4).cast(DecimalType(18, 4)).cast("double").as("q50"),

@@ -53,7 +53,7 @@ object StreamingQueries {
     val rawSchema = schemaMemo.computeIfAbsent(s"$d/events.parquet",
       p => s.read.parquet(p).schema)
     val srcPath =
-      if (new java.io.File(s"$d/events.parquet").isDirectory) s"$d/events.parquet"
+      if (graft.util.InputSize.isDirectory(s, s"$d/events.parquet")) s"$d/events.parquet"
       else s"$d/events.parque[t]"
     graft.util.Tables.normalizeEventTs(
       s.readStream.schema(rawSchema).parquet(srcPath), "ts")
@@ -79,19 +79,19 @@ object StreamingQueries {
     * help); under RocksDB the same entry completes in 28 s with state on
     * disk. Small sources keep the on-heap provider that won the measured
     * A/B (1.4-3.1× where state fits), so every bench-tier number is
-    * unchanged. */
-  private def stateStoreProvider(d: String): Option[String] = {
+    * unchanged. Sizing reads the STREAM'S OWN source tables through the
+    * Hadoop FS API ([[graft.util.InputSize]] — recursive, any scheme,
+    * unresolvable → Long.MaxValue → RocksDB, the fail-safe direction;
+    * VERDICT r11 #2 + ADVICE r11 #3/#4). */
+  private def stateStoreProvider(s: SparkSession, d: String,
+                                 sources: Seq[String]): Option[String] = {
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     sys.env.get("SPARK_GRAFT_STATESTORE") match {
       case Some("rocksdb") => Some(rocks)
       case Some(_) => None
       case None =>
-        val f = new java.io.File(s"$d/events.parquet")
-        val bytes =
-          if (f.isDirectory)
-            Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-          else f.length()
+        val bytes = graft.util.InputSize.maxBytes(s, sources.map(t => s"$d/$t"))
         if (bytes > (64L << 20)) Some(rocks) else None
     }
   }
@@ -107,8 +107,12 @@ object StreamingQueries {
     * (the driver hash gate re-proves it every round). SIZING, not
     * semantics: a real 100 TB stream carries millions of keys and wants
     * hundreds of state partitions — override per run via
-    * SPARK_GRAFT_STREAM_PARTS, exactly like the seq-pack shard knob. */
-  private def streamStateParts(d: String): String =
+    * SPARK_GRAFT_STREAM_PARTS, exactly like the seq-pack shard knob.
+    * Sizing through [[graft.util.InputSize]] over the stream's own
+    * sources; an unresolvable path reports Long.MaxValue → 200 partitions
+    * (the large-input plan — fail-safe, like the provider flip). */
+  private def streamStateParts(s: SparkSession, d: String,
+                               sources: Seq[String]): String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", {
       // input-sized default (the fixed default 8 was measured right for
       // entry-sized state at the bench tiers, but the 100x full-surface
@@ -117,12 +121,9 @@ object StreamingQueries {
       // default was sized on). One state partition per ~8 MB of source
       // parquet, floor 8 (the measured fixed-cost optimum), cap 200:
       // sf0.1 (2 MB) -> 8 unchanged; 100x (183 MB) -> 22; 1000x -> 200.
-      val f = new java.io.File(s"$d/events.parquet")
-      val bytes =
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-        else f.length()
-      math.min(200L, math.max(8L, bytes / (8L << 20))).toString
+      val bytes = graft.util.InputSize.maxBytes(s, sources.map(t => s"$d/$t"))
+      val perPart = bytes / (8L << 20) // MaxValue/8Mi still > 200 — no overflow
+      math.min(200L, math.max(8L, perPart)).toString
     })
 
   /** Run a streaming aggregate to a parquet sink under AvailableNow and
@@ -131,19 +132,29 @@ object StreamingQueries {
     * a bench session invokes each streaming query 3×, and un-registered
     * dirs accumulated parquet + state-store WAL per invocation, forever).
     * Asserts the single-micro-batch assumption the oracles rest on (see
-    * object doc). Shuffle partitions are scoped to [[streamStateParts]]
-    * for the stream's lifetime (state-partition sizing — the conf is read
-    * once at stream start) and restored after. */
-  private def runAvailableNow(agg: DataFrame, s: SparkSession, d: String): DataFrame = {
+    * object doc). Shuffle partitions AND the state-store provider are
+    * scoped to this stream's lifetime (both confs are read once at stream
+    * start) and restored in the same finally — without the provider
+    * restore, one RocksDB flip would stick to the shared session and make
+    * every later stream's provider choice order-dependent (ADVICE r11
+    * #2); the None branch explicitly unsets, so the engine default
+    * applies regardless of what an earlier run left behind. `sources`
+    * names the stream's own input tables for the size-routed knobs. */
+  private def runAvailableNow(agg: DataFrame, s: SparkSession, d: String,
+                              sources: Seq[String] = Seq("events.parquet")): DataFrame = {
     val out = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_out")).toString
     val ckpt = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    stateStoreProvider(d).foreach(s.conf.set(providerKey, _))
+    val savedProvider = s.conf.getOption(providerKey)
+    stateStoreProvider(s, d, sources) match {
+      case Some(p) => s.conf.set(providerKey, p)
+      case None => s.conf.unset(providerKey)
+    }
     val partsKey = "spark.sql.shuffle.partitions"
     val savedParts = s.conf.get(partsKey)
-    s.conf.set(partsKey, streamStateParts(d))
+    s.conf.set(partsKey, streamStateParts(s, d, sources))
     val q =
       try {
         val started = agg.writeStream
@@ -155,7 +166,13 @@ object StreamingQueries {
           .start()
         started.awaitTermination()
         started
-      } finally s.conf.set(partsKey, savedParts)
+      } finally {
+        s.conf.set(partsKey, savedParts)
+        savedProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+      }
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches <= 1,
       s"file source split into $dataBatches data batches — the oracle's " +
@@ -376,7 +393,7 @@ object StreamingQueries {
     val rawSchema = schemaMemo.computeIfAbsent(s"$d/documents.parquet",
       p => s.read.parquet(p).schema)
     val srcPath =
-      if (new java.io.File(s"$d/documents.parquet").isDirectory) s"$d/documents.parquet"
+      if (graft.util.InputSize.isDirectory(s, s"$d/documents.parquet")) s"$d/documents.parquet"
       else s"$d/documents.parque[t]"
     val deltaStream = s.readStream.schema(rawSchema).parquet(srcPath)
       .filter(col("doc_id") % 10 === 0)

@@ -80,4 +80,29 @@ class ExactQuantilesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("byGroup skips nulls exactly like the percentile aggregate (ADVICE r11 #1)") {
+    import spark.implicits._
+    // nulls interleaved in every group shape: without the up-front filter
+    // the rollup counts null rows into __n (they sort first under the
+    // cumulative window) and every quantile position shifts
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None), ("b", Some(7.0)),
+      ("c", Some(5.0)), ("c", Some(9.0)), ("c", None)
+    ).toDF("g", "v")
+    val qs = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75)
+    val builtin = df.groupBy("g")
+      .agg(qs.map { case (n, q) => percentile(col("v"), lit(q)).as(n) }.head,
+        qs.map { case (n, q) => percentile(col("v"), lit(q)).as(n) }.tail: _*)
+      .orderBy("g").collect()
+    val ours = ExactQuantiles.byGroup(df, "g", "v", qs).orderBy("g").collect()
+    assert(builtin.length == ours.length)
+    builtin.zip(ours).foreach { case (b, o) =>
+      for (i <- 1 to qs.length)
+        assert(java.lang.Double.doubleToLongBits(b.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(o.getDouble(i)),
+          s"group ${b.getString(0)} ${qs(i - 1)._1}: ${b.getDouble(i)} vs ${o.getDouble(i)}")
+    }
+  }
 }
