@@ -284,6 +284,65 @@ object Multimodal {
     when(isPng(payload),
       conv(hex(call_function("substr", payload, lit(21), lit(4))), 16, 10).cast("int"))
 
+  /** JPEG SOI signature test as a column expression. */
+  def isJpeg(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(call_function("substr", payload, lit(1), lit(2))) === "FFD8"
+
+  /** JPEG (width, height) as a pure column expression — the SAME
+    * marker-segment walk [[parseDims]] runs on the JVM side (skip
+    * standalone TEM/RSTn markers, hop APPn/COM/DQT/DHT segments by their
+    * big-endian length field, stop at the first SOF frame header that is
+    * not DHT/JPG/DAC), spelled as an `aggregate` HOF so the walk runs
+    * ITERATIVELY at execution time: the fold's lambda is built once, so
+    * there is no exponential expression blow-up from nesting the offset
+    * arithmetic `maxSegments` deep, and the payload column is read at
+    * scan speed with no decoder round-trip (the [[pngWidth]] contract,
+    * extended to the format that actually dominates web image corpora).
+    * Returns `struct(w INT, h INT)` with null fields for non-JPEG
+    * payloads, truncated headers, or headers whose SOF lies beyond
+    * `maxSegments` segments (bounded walk — a real-world EXIF-laden file
+    * may need a higher bound; the JVM-side [[parseDims]] walks
+    * unbounded). */
+  def jpegDims(payload: org.apache.spark.sql.Column,
+               maxSegments: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    val plen = length(payload)
+    def u8(o: Column): Column = // o is a 0-based byte offset
+      conv(hex(call_function("substr", payload, o + 1, lit(1))), 16, 10).cast("int")
+    def be16(o: Column): Column = u8(o) * 256 + u8(o + 1)
+    val nullInt = lit(null).cast("int")
+    val dead = struct(nullInt.as("off"), nullInt.as("w"), nullInt.as("h"))
+    val walk = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(2).as("off"), nullInt.as("w"), nullInt.as("h")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val w = acc.getField("w")
+        val h = acc.getField("h")
+        val valid = (off + 4 <= plen) && (u8(off) === 255)
+        val marker = u8(off + 1)
+        val standalone = (marker === 1) || marker.between(0xd0, 0xd9)
+        val isSof = marker.between(0xc0, 0xcf) &&
+          marker =!= 0xc4 && marker =!= 0xc8 && marker =!= 0xcc
+        when(w.isNotNull || off.isNull, acc)
+          .when(!valid, dead)
+          // 0xFF fill bytes are legal padding between segments — step past
+          // one per iteration (the [[parseDims]] run-skip, unrolled)
+          .when(marker === 255,
+            struct((off + 1).as("off"), w.as("w"), h.as("h")))
+          .when(standalone,
+            struct((off + 2).as("off"), w.as("w"), h.as("h")))
+          .when(isSof && (off + 9 <= plen),
+            struct(off.as("off"), be16(off + 7).as("w"), be16(off + 5).as("h")))
+          .when(isSof, dead) // truncated SOF
+          .otherwise(
+            struct((off + 2 + be16(off + 2)).as("off"), w.as("w"), h.as("h")))
+      },
+      acc => struct(acc.getField("w").as("w"), acc.getField("h").as("h")))
+    when(isJpeg(payload), walk)
+      .otherwise(struct(nullInt.as("w"), nullInt.as("h")))
+  }
+
   /** One decoded audio row: real signal-level features from PCM samples.
     * `sample_rate == 0` marks a payload no installed reader decodes —
     * the honest non-audio fallback, never a crash. */

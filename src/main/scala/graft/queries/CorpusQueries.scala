@@ -337,6 +337,63 @@ object CorpusQueries {
       .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
   }
 
+  /** [[ngramLmScores]] with a CAPPED vocabulary — the CCNet/KenLM pruning
+    * discipline (VERDICT r11 #1): the LM's word domain is the top-K corpus
+    * words by count (total order: cnt desc, word asc) plus one OOV bucket
+    * every other token maps to; add-one smoothing divides by that BOUNDED
+    * vocabulary size (min(K, distinct)+1), so the model table is bounded
+    * BY CONSTRUCTION — at most (K+1)² bigram types, in practice far fewer
+    * — instead of by the corpus's distinct-bigram count. The uncapped twin
+    * measured 36× wall for 10× data on the cipher decade tier precisely
+    * because adversarial text makes every bigram distinct; under the cap
+    * that text collapses into OOV-dominated bigrams and the state stays
+    * vocabulary-sized. At 100 TB a vocabulary-sized model BROADCASTS for
+    * the scoring join; a corpus-sized one cannot.
+    *
+    * Plan shape: one extra bounded rollup for the top-K (TakeOrdered over
+    * word counts — partial top-K per partition, never a full sort), the
+    * ≤K-row vocab broadcast against the bigram stream twice (map-side,
+    * no shuffle added), then exactly the uncapped chain over the mapped
+    * tokens. The OOV sentinel is U+0001 — absent from any tokenized text
+    * column by construction (whitespace-split text; the oracle uses
+    * chr(1) identically). Same integer micro-nat determinism contract as
+    * [[ngramLmScores]]. */
+  def ngramLmScoresCapped(s: SparkSession, d: String, k: Int = 65536): DataFrame = {
+    val docs = documents(s, d)
+    val vocab = graft.util.Snapshots.snap(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(k)
+        .select("w"))
+    val vSize = vocab.count() + 1 // + the OOV symbol
+    val oov = "\u0001"
+    val bi0 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
+    val v1 = broadcast(vocab.select(col("w").as("w1"), lit(1L).as("__v1")))
+    val v2 = broadcast(vocab.select(col("w").as("w2"), lit(1L).as("__v2")))
+    val bi = graft.util.Snapshots.snap(
+      bi0.join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
+        .select(col("doc_id"),
+          when(col("__v1").isNotNull, col("w1")).otherwise(lit(oov)).as("w1"),
+          when(col("__v2").isNotNull, col("w2")).otherwise(lit(oov)).as("w2")))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + lit(vSize)).cast("double"))
+          * 1e6, 0).cast("long").as("nll"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_micro"))
+      .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
+  }
+
   /** Token-count distribution in decimal-magnitude buckets (docs with
     * 1-9 tokens, 10-99, 100-999, …) — the first-look length histogram every
     * corpus intake runs (too-short and too-long tails are the first

@@ -97,8 +97,20 @@ object ScalarQueries {
           .as("ship_delay_s"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** E7 (`transform.py:112-117`): regexp_replace with a per-row *column*
-    * pattern — strip the event number out of the dispatch id. */
+  /** E7 (`transform.py:112-117`): strip the event number out of the
+    * dispatch id. The faithful reference spelling is a regexp_replace
+    * with a per-row COLUMN pattern (kept in
+    * [[graft.ops.Transform.createUnitId]], the §2 parity surface) —
+    * but a per-row pattern defeats Spark's last-regex compile cache, so
+    * the forced plan spends its time in `Pattern.compile` (VERDICT r11
+    * what's-wrong #3). The pattern here is a digit string by
+    * construction — no regex metacharacters — so literal `replace` is
+    * semantics-identical (both engines replace every occurrence,
+    * left-to-right) and regex-free. Measured A/B at sf0.1 forced
+    * (SCALING.md r12): regexp ~1.65-1.92 s steady-state vs replace
+    * ~1.0-1.1 s — ~1.7× on the expression (the residual second is the
+    * presentation sort + row production both plans share); the declared
+    * query takes the literal plan. */
   def unitId(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(
@@ -106,7 +118,7 @@ object ScalarQueries {
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")).as("dispatch_id"))
       .withColumn("unit_id",
-        regexp_replace(col("dispatch_id"), col("l_orderkey").cast("string"), lit("")))
+        replace(col("dispatch_id"), col("l_orderkey").cast("string"), lit("")))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** E8 (`consumer_cassandra.py:165-196`): strip non-digits + cast to int,
@@ -187,8 +199,8 @@ object ScalarQueries {
     "q_unit_id" ->
       """SELECT l_orderkey, l_linenumber,
                 CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS dispatch_id,
-                regexp_replace(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
-                               CAST(l_orderkey AS VARCHAR), '', 'g') AS unit_id
+                replace(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
+                        CAST(l_orderkey AS VARCHAR), '') AS unit_id
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_digits_cast" ->
       """SELECT p_partkey,

@@ -304,13 +304,28 @@ object SelectionQueries {
     * per-lang counts are bounded broadcasts; the only added corpus-sized
     * ops are one row_number over high-cardinality (lang, score) groups
     * and the final ≤ |langs|·3-group rollup. */
-  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+  def pplBuckets(s: SparkSession, d: String): DataFrame =
+    pplBucketsFrom(s, d, CorpusQueries.ngramLmScores(s, d))
+
+  /** [[pplBuckets]] over the VOCABULARY-CAPPED LM
+    * ([[CorpusQueries.ngramLmScoresCapped]] — top-K words + OOV bucket,
+    * the CCNet/KenLM pruning discipline; VERDICT r11 #1): identical
+    * bucketing machinery, but the LM state feeding it is bounded by
+    * construction, so the decade-tier distinct-vocabulary blowup (36×
+    * wall for 10× data on cipher text) cannot occur — adversarial
+    * distinct-heavy text collapses into OOV bigrams and the model stays
+    * broadcast-sized at any corpus size. */
+  def pplBucketsCapped(s: SparkSession, d: String): DataFrame =
+    pplBucketsFrom(s, d, CorpusQueries.ngramLmScoresCapped(s, d))
+
+  private def pplBucketsFrom(s: SparkSession, d: String,
+                             scores: DataFrame): DataFrame = {
     // snapshot the scored frame: the histogram and the ranking pass both
     // consume it, and the LM scoring chain downstream of ngramLmScores'
     // own snapshot (model join + per-doc rollup + lang join) would
     // otherwise recompute per reference
     val scored = graft.util.Snapshots.snap(
-      CorpusQueries.ngramLmScores(s, d)
+      scores
         .select(col("doc_id"), col("n_bigrams"),
           expr("avg_micro div 1000").as("ppl_milli"))
         .join(documents(s, d).select("doc_id", "lang"), "doc_id"))
@@ -463,6 +478,7 @@ object SelectionQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_cap"      -> (domainCap _),
     "q_ppl_buckets"     -> (pplBuckets _),
+    "q_ppl_buckets_capped" -> (pplBucketsCapped _),
     "q_diversity_sample" -> (diversitySample _),
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
@@ -545,6 +561,50 @@ object SelectionQueries {
                           CAST(round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
                                AS BIGINT) AS nll
                    FROM c2 JOIN c1 USING (w1), vocab),
+         score AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                          (sum(nll) // count(*)) // 1000 AS ppl_milli
+                   FROM bi JOIN model USING (w1, w2) GROUP BY doc_id),
+         sl AS (SELECT s.doc_id, s.n_bigrams, s.ppl_milli, d.lang
+                FROM score s JOIN documents d USING (doc_id)),
+         r AS (SELECT lang, doc_id, ppl_milli, n_bigrams,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY ppl_milli, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n_lang
+               FROM sl),
+         b AS (SELECT lang, ppl_milli, n_bigrams,
+                      ((rk - 1) * 3) // n_lang AS bucket FROM r)
+       SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(ppl_milli) AS BIGINT) AS min_ppl_milli,
+              CAST(max(ppl_milli) AS BIGINT) AS max_ppl_milli,
+              CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+              CASE WHEN bucket = 0 THEN 'head'
+                   WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_name
+       FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
+    // capped twin: vocab = top-65536 words (cnt desc, word asc — total
+    // order), every other token maps to the chr(1) OOV bucket, smoothing
+    // divides by |vocab|+1; the bucketing chain is q_ppl_buckets' verbatim
+    "q_ppl_buckets_capped" ->
+      """WITH wc AS (SELECT word, count(*) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     GROUP BY word),
+         vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 65536),
+         vn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wf),
+         bir AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2 FROM p0),
+         bi AS (SELECT doc_id,
+                       coalesce(va.word, chr(1)) AS w1,
+                       coalesce(vb.word, chr(1)) AS w2
+                FROM bir LEFT JOIN vocab va ON bir.r1 = va.word
+                         LEFT JOIN vocab vb ON bir.r2 = vb.word),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         model AS (SELECT w1, w2,
+                          CAST(round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS nll
+                   FROM c2 JOIN c1 USING (w1), vn),
          score AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                           (sum(nll) // count(*)) // 1000 AS ppl_milli
                    FROM bi JOIN model USING (w1, w2) GROUP BY doc_id),

@@ -230,47 +230,68 @@ object TextQueries {
   /** LAION-style image-text PAIR curation (VERDICT r10 #7): filter pairs
     * on BOTH media metadata (decoded from the binary payload) and caption
     * quality signals, in one pass. The pair table is synthesized
-    * deterministically from `documents` — each doc gets a payload whose
-    * leading bytes are a real PNG signature + IHDR carrying
-    * arithmetic-derived dimensions, except every 13th doc which gets a
-    * JPEG SOI prefix (the non-PNG arm the media gate must DROP) — and the
+    * deterministically from `documents` — most docs get a real PNG
+    * signature + IHDR, every 13th doc a real JPEG header (SOI + full JFIF
+    * APP0 + SOF0), each carrying arithmetic-derived dimensions, and every
+    * 17th doc a non-image payload the format gate must DROP — and the
     * ENGINE side recovers the dims by parsing the payload bytes
-    * ([[graft.operators.Multimodal.pngWidth]]/`pngHeight` — hex→conv
-    * column expressions, scan-speed header reads, no decoder round-trip),
-    * so the oracle's arithmetic twin gates the full synthesize→parse
-    * round trip.
+    * ([[graft.operators.Multimodal.pngWidth]]/`pngHeight` for PNG;
+    * [[graft.operators.Multimodal.jpegDims]]' marker-segment walk for
+    * JPEG, the format that actually dominates a LAION-style corpus —
+    * VERDICT r11 #3), so the oracle's arithmetic twin gates the full
+    * synthesize→parse round trip for BOTH formats.
     *
     * Curation rules (the standard LAION-2B shape: CLIP-score aside, the
-    * metadata gates are exactly these): PNG only, min dimension ≥ 128,
-    * aspect ratio within 3:1 either way (integer cross-multiplied — no
-    * float boundary), caption ≥ 20 chars and ≥ 5 words, language
-    * allowlist. 100 TB posture: pairs arrive as records (payload +
-    * caption in one row, the LAION parquet layout), so the whole policy
-    * is ONE map-only scan-project-filter — no join, no shuffle; the
-    * payload column is read only for its leading page (header parse), and
-    * Catalyst prunes it entirely from the output. */
+    * metadata gates are exactly these): decodable image (PNG or JPEG),
+    * min dimension ≥ 128, aspect ratio within 3:1 either way (integer
+    * cross-multiplied — no float boundary), caption ≥ 20 chars and
+    * ≥ 5 words, language allowlist. 100 TB posture: pairs arrive as
+    * records (payload + caption in one row, the LAION parquet layout), so
+    * the whole policy is ONE map-only scan-project-filter — no join, no
+    * shuffle; the payload column is read only for its leading page
+    * (header parse), and Catalyst prunes it entirely from the output. */
   def pairCuration(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Column
     val be32 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
+    val be16 = (c: Column) => unhex(lpad(hex(c), 4, "0"))
     val wGen = (lit(64L) + pmod(col("doc_id"), lit(1984L))).cast("int")
-    val hGen = (lit(64L) + pmod(col("doc_id") * 7L, lit(1984L))).cast("int")
+    val hGenPng = (lit(64L) + pmod(col("doc_id") * 7L, lit(1984L))).cast("int")
+    val hGenJpg = (lit(64L) + pmod(col("doc_id") * 11L, lit(1984L))).cast("int")
     val pngPayload = concat(
       unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
-      be32(wGen), be32(hGen),
+      be32(wGen), be32(hGenPng),
       unhex(lit("0806000000"))) // bit depth / color type / compression+filter+interlace
-    val jpgPayload = unhex(lit("FFD8FFE000104A464946"))
+    // real JPEG header: SOI, a full JFIF APP0 segment (16-byte length the
+    // walk must hop), then SOF0 carrying height/width big-endian plus the
+    // 3-component spec — parsed back by the marker walk, never by offset
+    // arithmetic tied to this layout
+    val jpgPayload = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+      be16(hGenJpg), be16(wGen),
+      unhex(lit("03012200021101031101")))
+    // the non-image arm the format gate must DROP — includes a red-herring
+    // SOI mid-payload so only a signature test at offset 0 passes
+    val rawPayload = unhex(lit("DEADBEEF00FFD8"))
     val pairs = documents(s, d).select(
       col("doc_id"), col("lang"), col("text"),
-      when(pmod(col("doc_id"), lit(13L)) === 0L, jpgPayload)
+      when(pmod(col("doc_id"), lit(17L)) === 0L, rawPayload)
+        .when(pmod(col("doc_id"), lit(13L)) === 0L, jpgPayload)
         .otherwise(pngPayload).as("payload"))
     pairs
+      .withColumn("jd", graft.operators.Multimodal.jpegDims(col("payload")))
       .select(
         col("doc_id"), col("lang"),
-        graft.operators.Multimodal.pngWidth(col("payload")).as("width"),
-        graft.operators.Multimodal.pngHeight(col("payload")).as("height"),
+        when(graft.operators.Multimodal.isPng(col("payload")), lit("png"))
+          .when(col("jd").getField("w").isNotNull, lit("jpeg"))
+          .as("format"),
+        coalesce(graft.operators.Multimodal.pngWidth(col("payload")),
+          col("jd").getField("w")).as("width"),
+        coalesce(graft.operators.Multimodal.pngHeight(col("payload")),
+          col("jd").getField("h")).as("height"),
         wordCount(col("text")).as("n_words"),
         length(col("text")).as("n_chars"))
-      .filter(col("width").isNotNull && col("height").isNotNull) // PNG gate
+      .filter(col("format").isNotNull) // decodable-image gate (both arms)
+      .filter(col("width").isNotNull && col("height").isNotNull)
       .filter(col("width") >= 128 && col("height") >= 128)
       .filter(col("width") * 3 >= col("height") && col("height") * 3 >= col("width"))
       .filter(col("n_chars") >= 20 && col("n_words") >= 5)
@@ -470,7 +491,148 @@ object TextQueries {
       .limit(20)
   }
 
+  /** The scalar PREFIX of [[curationV2]] — HTML wrap synthesis → main-
+    * content extraction ([[htmlExtract]]'s strip contract) → NFC
+    * normalization ([[graft.expr.NormalizeText]]) → rule + language
+    * filters — exposed separately so CurationV2Spec can pin that the
+    * whole prefix compiles into ONE WholeStageCodegen region over the
+    * scan: at 100 TB these per-doc stages must fuse (one pass over the
+    * payload, no materialization between them), and the codegen-
+    * participating NormalizeText expression is what makes that possible. */
+  private[queries] def curationV2Scalar(docs: DataFrame): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T</title><style type=\"text/css\">p { color: #333; }" +
+        "</style><script>var nav = \"<p>menu</p>\";</script></head>" +
+        "<body><h1>Title</h1><p class=\"main\">"),
+      col("text"),
+      lit("</p><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+        "<div id=\"footer\"><a href=\"/about\">about</a> | <a href=\"/x\">x</a>" +
+        "</div></body></html>"))
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags   = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val extracted = trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+    val norm = graft.expr.NormalizeText.normalize_text(extracted)
+    docs
+      .select(col("doc_id"), col("lang"), norm.as("norm"))
+      .filter(length(col("norm")) >= 20 && wordCount(col("norm")) >= 5)
+      .filter(col("lang").isInCollection(Seq("en", "es", "fr", "de")))
+  }
+
+  /** END-TO-END curation DAG v2 (VERDICT r11 #6) — the pipeline a real
+    * web corpus actually runs, composed from this round's operator
+    * surface: html_extract → normalize_text → rule/language filter →
+    * exact dedup on the NORMALIZED text (the right key — two
+    * byte-different spellings of one grapheme are one document) →
+    * domain cap (the q_domain_cap skew discipline: blocklist, hot-host
+    * split, WindowGroupLimit-pushable rank for the mega-site, anti-join
+    * bypass for the long tail). The scalar prefix is one fused codegen
+    * pass ([[curationV2Scalar]], spec-pinned); the only corpus-sized
+    * shuffles are the dedup fingerprint hash and the hot-host rank —
+    * both 16-byte-key bounded. q_curation (the v1 fingerprint pipeline)
+    * stays as the §2-era surface; this is the round-11-operator
+    * composition. */
+  def curationV2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = curationV2Scalar(documents(s, d))
+      .select(col("doc_id"), col("lang"), md5(col("norm")).as("f"),
+        length(col("norm")).as("n_chars"))
+    val deduped = base
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("f").orderBy("doc_id")))
+      .filter(col("__rk") === 1)
+      .select("doc_id", "lang", "n_chars")
+    val cap = 12
+    val host0 = when(pmod(col("doc_id"), lit(16L)) === 0L, lit("spam.biz"))
+      .when(pmod(col("doc_id"), lit(16L)) === 8L, lit("ads.example"))
+      .when(pmod(col("doc_id"), lit(4L)) =!= 0L, lit("megasite.example"))
+      .otherwise(concat(lit("site-"), pmod(col("doc_id"), lit(997L)), lit(".example")))
+    val url = concat(lit("https://"), host0, lit("/p/"), col("doc_id"))
+    val parsed = deduped
+      .withColumn("host", regexp_extract(url, "^https://([^/]+)/", 1))
+      .filter(!col("host").isInCollection(Seq("spam.biz", "ads.example")))
+    val counts = parsed.groupBy("host").agg(count(lit(1)).as("__n"))
+    val hot = broadcast(counts.filter(col("__n") > cap).select("host"))
+    val capped = parsed.join(hot, Seq("host"), "left_semi")
+      .withColumn("__hk",
+        row_number().over(Window.partitionBy("host").orderBy("doc_id")))
+      .filter(col("__hk") <= cap)
+      .select("doc_id", "host", "lang", "n_chars")
+    val tail = parsed.join(hot, Seq("host"), "left_anti")
+      .select("doc_id", "host", "lang", "n_chars")
+    capped.unionByName(tail).orderBy("doc_id")
+  }
+
+  /** BPE tokenizer TRAINING — the K-iteration argmax-merge-recount loop
+    * (Sennrich et al. 2016) that [[bpeMergePairs]] (iteration 1) and
+    * [[bpeApply]] (iteration 2) hand-unroll, run to K=8 merges on a
+    * CAPPED vocabulary (VERDICT r11 #4, on the top-K discipline of #1:
+    * the word domain is the top-65536 corpus words, so the per-iteration
+    * state is bounded by construction even on adversarial distinct-heavy
+    * text where the raw vocabulary is corpus-sized).
+    *
+    * Loop shape — exactly what a real fitter distributes: per iteration,
+    * ONE bounded-row driver collect (the argmax pair, total order cnt
+    * desc / pair asc) and one vocabulary-sized map (merge the pair into
+    * every word via `replace`, the merged pair occupying one sentinel
+    * char — chr(i) for iteration i). Everything corpus-sized happens ONCE
+    * (the initial word count; its top-K is a TakeOrdered — per-partition
+    * partial top-K, never a full sort). Each iteration's vocab is
+    * snapshotted so iteration 8 does not recompute merges 1-7 per
+    * reference. Output: the merge table — (iter, pair, cnt) with earlier
+    * merges rendered as ⟨j⟩ references (the standard merge-table form:
+    * later merges reference earlier ones by index), so no sentinel byte
+    * leaves the engine. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iters = 8
+    val k = 65536
+    var v = graft.util.Snapshots.snap(
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("word_cnt"))
+        .orderBy(col("word_cnt").desc, col("w")).limit(k))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    for (it <- 1 to iters) {
+      val top = v
+        .select(explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"),
+          col("word_cnt"))
+        .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).head()
+      val pair = top.getString(0)
+      merges += ((it.toLong, pair, top.getLong(1)))
+      val sentinel = it.toChar.toString // chr(1)..chr(8), absent from text
+      v = graft.util.Snapshots.snap(
+        v.select(replace(col("w"), lit(pair), lit(sentinel)).as("w"),
+            col("word_cnt"))
+          .filter(length(col("w")) >= 2))
+    }
+    val rendered = merges.toSeq.map { case (it, p, c) =>
+      val r = (1 until it.toInt).foldLeft(p) { (acc, j) =>
+        acc.replace(j.toChar.toString, s"⟨$j⟩") }
+      (it, r, c)
+    }
+    rendered.toDF("iter", "pair", "cnt").orderBy("iter")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train"         -> (bpeTrain _),
+    "q_curation_v2"       -> (curationV2 _),
     "q_bpe_apply"         -> (bpeApply _),
     "q_vocab_coverage"    -> (vocabCoverage _),
     "q_pii_stats"         -> (piiStats _),
@@ -496,7 +658,94 @@ object TextQueries {
     "q_multimodal_meta"   -> (multimodalMeta _),
   )
 
+  /** The q_bpe_train oracle, generated: the 8 merge iterations unroll as
+    * CTE triples (p_i pair counts → t_i argmax → v_i merged vocab) over
+    * the same capped top-65536 word domain; the final projection renders
+    * each iteration's sentinels chr(j) as ⟨j⟩ merge references, exactly
+    * the engine's driver-side rendering. */
+  private val bpeTrainOracle: String = {
+    val iters = 8
+    val head =
+      """WITH v0 AS (SELECT word AS w, word_cnt FROM (
+             SELECT word, count(*) AS word_cnt
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE length(word) >= 2 GROUP BY word
+             ORDER BY word_cnt DESC, word LIMIT 65536))"""
+    val iterCtes = (1 to iters).map { it =>
+      s"""
+         p$it AS (SELECT unnest(list_transform(range(1, length(w)),
+                                i -> substr(w, CAST(i AS INT), 2))) AS pair,
+                         word_cnt
+                  FROM v${it - 1}),
+         t$it AS (SELECT pair, CAST(sum(word_cnt) AS BIGINT) AS cnt
+                  FROM p$it GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         v$it AS (SELECT w, word_cnt FROM (
+                    SELECT replace(w, (SELECT pair FROM t$it), chr($it)) AS w,
+                           word_cnt
+                    FROM v${it - 1}) WHERE length(w) >= 2)"""
+    }.mkString(",", ",", "")
+    val rows = (1 to iters).map { it =>
+      val render = (1 until it).foldLeft("pair") { (acc, j) =>
+        s"replace($acc, chr($j), '⟨$j⟩')"
+      }
+      s"SELECT CAST($it AS BIGINT) AS iter, $render AS pair, cnt FROM t$it"
+    }.mkString("\n UNION ALL ")
+    s"$head$iterCtes\n$rows\n ORDER BY iter"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle,
+    // the composed DAG: the q_html_extract strip chain, the
+    // q_normalize_text utf8proc NFC mirror, the rule/lang gates, min-id
+    // dedup on the normalized md5, then the q_domain_cap
+    // blocklist-and-cap — each stage's spelling verbatim from its
+    // single-stage oracle so a v2 divergence localizes to composition
+    "q_curation_v2" ->
+      raw"""WITH h AS (
+             SELECT doc_id, lang,
+                    '<html><head><title>T</title><style type="text/css">p { color: #333; }' ||
+                    '</style><script>var nav = "<p>menu</p>";</script></head>' ||
+                    '<body><h1>Title</h1><p class="main">' || text ||
+                    '</p><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>' ||
+                    '<div id="footer"><a href="/about">about</a> | <a href="/x">x</a>' ||
+                    '</div></body></html>' AS html
+             FROM documents),
+           s1 AS (SELECT doc_id, lang, regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+           s2 AS (SELECT doc_id, lang, regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+           s3 AS (SELECT doc_id, lang, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+           dch AS (SELECT doc_id, lang,
+                          replace(replace(replace(replace(replace(replace(t,
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+                   FROM s3),
+           c AS (SELECT doc_id, lang, trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS extracted FROM dch),
+           n AS (SELECT doc_id, lang,
+                        trim(regexp_replace(regexp_replace(nfc_normalize(extracted),
+                             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM c),
+           flt AS (SELECT doc_id, lang, norm FROM n
+                   WHERE length(norm) >= 20
+                     AND len(string_split(norm, ' ')) >= 5
+                     AND lang IN ('en','es','fr','de')),
+           ddp AS (SELECT doc_id, lang, md5(norm) AS f, length(norm) AS n_chars FROM flt),
+           keep AS (SELECT f, min(doc_id) AS doc_id FROM ddp GROUP BY f),
+           surv AS (SELECT d.doc_id, d.lang, d.n_chars
+                    FROM ddp d JOIN keep k ON d.doc_id = k.doc_id),
+           u AS (SELECT doc_id, lang, n_chars,
+                        CASE WHEN doc_id % 16 = 0 THEN 'spam.biz'
+                             WHEN doc_id % 16 = 8 THEN 'ads.example'
+                             WHEN doc_id % 4 <> 0 THEN 'megasite.example'
+                             ELSE 'site-' || (doc_id % 997) || '.example' END AS h0
+                 FROM surv),
+           p AS (SELECT doc_id, lang, n_chars,
+                        regexp_extract('https://' || h0 || '/p/' || doc_id,
+                                       '^https://([^/]+)/', 1) AS host
+                 FROM u),
+           f2 AS (SELECT * FROM p WHERE host NOT IN ('spam.biz', 'ads.example')),
+           r AS (SELECT doc_id, host, lang, n_chars,
+                        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+                 FROM f2)
+         SELECT doc_id, host, lang, n_chars FROM r WHERE rk <= 12 ORDER BY doc_id""",
     // sentinel = chr(1) internally, rendered as chr(10216)/chr(10217)
     // angle marks around the merged pair — byte-identical to the engine
     "q_bpe_apply" ->
@@ -602,21 +851,27 @@ object TextQueries {
          SELECT pair, CAST(sum(word_cnt) AS BIGINT) AS cnt
          FROM p GROUP BY pair
          ORDER BY cnt DESC, pair LIMIT 50""",
-    // the oracle derives dims from the GENERATION rule; the engine parses
-    // them back out of the payload bytes — a hash match gates the whole
-    // synthesize→parse round trip plus every curation predicate
+    // the oracle derives format + dims from the GENERATION rule; the
+    // engine parses them back out of the payload bytes (PNG IHDR reads,
+    // JPEG marker walk) — a hash match gates the whole synthesize→parse
+    // round trip plus every curation predicate, for both formats
     "q_pair_curation" ->
-      """SELECT doc_id, lang,
-                CAST(64 + doc_id % 1984 AS INT) AS width,
-                CAST(64 + (doc_id * 7) % 1984 AS INT) AS height,
+      """WITH p AS (
+           SELECT doc_id, lang, text,
+                  CASE WHEN doc_id % 17 = 0 THEN NULL
+                       WHEN doc_id % 13 = 0 THEN 'jpeg'
+                       ELSE 'png' END AS format,
+                  CAST(64 + doc_id % 1984 AS INT) AS width,
+                  CAST(CASE WHEN doc_id % 13 = 0 THEN 64 + (doc_id * 11) % 1984
+                            ELSE 64 + (doc_id * 7) % 1984 END AS INT) AS height
+           FROM documents)
+         SELECT doc_id, lang, format, width, height,
                 len(string_split(text, ' ')) AS n_words,
                 length(text) AS n_chars
-         FROM documents
-         WHERE doc_id % 13 <> 0
-           AND 64 + doc_id % 1984 >= 128
-           AND 64 + (doc_id * 7) % 1984 >= 128
-           AND (64 + doc_id % 1984) * 3 >= 64 + (doc_id * 7) % 1984
-           AND (64 + (doc_id * 7) % 1984) * 3 >= 64 + doc_id % 1984
+         FROM p
+         WHERE format IS NOT NULL
+           AND width >= 128 AND height >= 128
+           AND width * 3 >= height AND height * 3 >= width
            AND length(text) >= 20
            AND len(string_split(text, ' ')) >= 5
            AND lang IN ('en','es','fr','de')

@@ -387,4 +387,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scan2.contains("ReadSchema: struct<media_id:bigint,mime:string>"),
       s"payload not pruned:\n$scan2")
   }
+
+  test("jpegDims column walk agrees with the JVM parseDims on every header shape") {
+    import spark.implicits._
+    def be16(v: Int) = Array(v >>> 8, v & 0xff).map(_.toByte)
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array.fill(10)(0.toByte)
+    def sof0(h: Int, w: Int) = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++
+      Array(8.toByte) ++ be16(h) ++ be16(w) ++
+      Array(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
+    val dht = Array(0xff, 0xc4).map(_.toByte) ++ be16(4) ++ Array.fill(2)(0.toByte)
+    val pad = Array(0xff, 0xff, 0xff).map(_.toByte)
+    val tem = Array(0xff, 0x01).map(_.toByte)
+    val rst = Array(0xff, 0xd0).map(_.toByte)
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      1L -> (soi ++ app0 ++ sof0(480, 640)),            // the common shape
+      2L -> (soi ++ sof0(33, 44)),                      // SOF immediately
+      3L -> (soi ++ app0 ++ dht ++ sof0(7000, 9000)),   // DHT must be hopped, not read as SOF
+      4L -> (soi ++ pad ++ tem ++ rst ++ sof0(77, 99)), // fill run + standalone markers
+      5L -> (soi ++ Array(0xff, 0xe0).map(_.toByte)),   // truncated: marker, no length
+      6L -> (soi ++ app0),                              // no SOF at all
+      7L -> Array[Byte](1, 2, 3, 4),                    // not a JPEG
+      8L -> (Array(0xde, 0xad).map(_.toByte) ++ soi))   // red-herring mid-stream SOI
+    val df = cases.toDF("id", "payload")
+    val got = df.select(col("id"), Multimodal.jpegDims(col("payload")).as("d"))
+      .select(col("id"), col("d.w"), col("d.h"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Int]),
+         Option(r.get(2)).map(_.asInstanceOf[Int]))).toMap
+    cases.foreach { case (id, bytes) =>
+      val expected = Multimodal.parseDims(bytes) match {
+        // parseDims also reads PNG/GIF/BMP; restrict the twin to JPEG
+        case some if bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8 => some
+        case _ => None
+      }
+      val (w, h) = got(id)
+      assert(w == expected.map(_._1) && h == expected.map(_._2),
+        s"case $id: column walk ($w, $h) vs parseDims $expected")
+    }
+  }
 }

@@ -84,20 +84,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(ids.toSeq == (0L until ids.length).toSeq)
   }
 
-  test("pair curation: media gate drops the JPEG arm and dims survive the synthesize→parse round trip") {
+  test("pair curation: both image arms parse, the non-image arm drops, dims survive the round trip") {
     val rows = TextQueries.pairCuration(spark, sf)
-      .select("doc_id", "width", "height").collect()
+      .select("doc_id", "format", "width", "height").collect()
     assert(rows.nonEmpty)
+    var sawJpeg = false
     rows.foreach { r =>
-      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
-      assert(id % 13 != 0, s"doc $id has the JPEG payload — the PNG gate must drop it")
-      // the engine PARSED these out of the payload bytes; they must equal
-      // the generation rule, or the PNG header synth/parse disagrees
-      assert(w == 64 + (id % 1984), s"doc $id width parse mismatch: $w")
-      assert(h == 64 + (id * 7 % 1984), s"doc $id height parse mismatch: $h")
+      val (id, fmt, w, h) =
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))
+      assert(id % 17 != 0, s"doc $id has the non-image payload — the format gate must drop it")
+      // the engine PARSED these out of the payload bytes (PNG IHDR reads /
+      // JPEG marker walk); they must equal the generation rule, or the
+      // header synth/parse disagrees
+      if (id % 13 == 0) {
+        sawJpeg = true
+        assert(fmt == "jpeg", s"doc $id should be the JPEG arm, got $fmt")
+        assert(w == 64 + (id % 1984), s"doc $id JPEG width parse mismatch: $w")
+        assert(h == 64 + (id * 11 % 1984), s"doc $id JPEG height parse mismatch: $h")
+      } else {
+        assert(fmt == "png", s"doc $id should be the PNG arm, got $fmt")
+        assert(w == 64 + (id % 1984), s"doc $id width parse mismatch: $w")
+        assert(h == 64 + (id * 7 % 1984), s"doc $id height parse mismatch: $h")
+      }
       assert(w >= 128 && h >= 128 && w * 3 >= h && h * 3 >= w,
         s"doc $id violates the dim/aspect gates: ${w}x$h")
     }
+    assert(sawJpeg, "no JPEG pair survived — the JPEG arm is not being measured")
   }
 
   test("salted aggregation is value-identical to the unsalted groupBy") {
