@@ -316,14 +316,21 @@ object CorpusQueries {
   def ngramLmScores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    // bigrams via zipped adjacent slices, NOT a positional explode: an
+    // explode over positions keeps the full `ws` array alongside each
+    // generated row until the element_at projection, copying O(doc_len)
+    // bytes per BIGRAM (O(len²) per doc through the generator) — measured
+    // as the dominant stage of the decade-tier wall (88 s of 160,
+    // tools/ProbeCappedLm, SCALING.md r12). Zipping the two slices builds
+    // them once per doc and the generator emits 2-word structs.
     val bi0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))")).as("p"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
-      .select(col("doc_id"),
-        element_at(col("ws"), col("i")).as("w1"),
-        element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
+        col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
     val bi = graft.util.Snapshots.snap(bi0)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -352,13 +359,20 @@ object CorpusQueries {
     *
     * Plan shape: one extra bounded rollup for the top-K (TakeOrdered over
     * word counts — partial top-K per partition, never a full sort), the
-    * ≤K-row vocab broadcast against the bigram stream twice (map-side,
-    * no shuffle added), then exactly the uncapped chain over the mapped
-    * tokens. The OOV sentinel is U+0001 — absent from any tokenized text
-    * column by construction (whitespace-split text; the oracle uses
-    * chr(1) identically). Same integer micro-nat determinism contract as
-    * [[ngramLmScores]]. */
+    * ≤K-row vocab broadcast against the bigram stream twice (map-side, no
+    * shuffle added) — and from that lookup on, every token is an INTEGER
+    * vocab id (1..K in word order, OOV = 0): the materialized bigram
+    * stream, both model aggregations and the scoring join carry
+    * (long, int, int) rows instead of corpus strings. On the cipher
+    * decade tier the string spelling measured 261 s; the id spelling cut
+    * the materialization/shuffle bytes by the token width (SCALING.md r12
+    * A/B). Ids are internal only — the id-keyed model is isomorphic to
+    * the string-keyed one (the lookup is an exact join, not a hash), so
+    * output values are unchanged; the OOV bucket is id 0, mirroring the
+    * oracle's chr(1) token exactly. Same integer micro-nat determinism
+    * contract as [[ngramLmScores]]. */
   def ngramLmScoresCapped(s: SparkSession, d: String, k: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
     val vocab = graft.util.Snapshots.snap(
       docs.select(explode(split(col("text"), " ")).as("w"))
@@ -366,29 +380,49 @@ object CorpusQueries {
         .orderBy(col("cnt").desc, col("w")).limit(k)
         .select("w"))
     val vSize = vocab.count() + 1 // + the OOV symbol
-    val oov = "\u0001"
+    // ≤K rows — the single-partition window is bounded, then broadcast
+    val vocabIds = vocab.withColumn("wid", row_number().over(Window.orderBy("w")))
+    // bigrams via zipped adjacent slices, NOT a positional explode: an
+    // explode over positions keeps the full `ws` array alongside each
+    // generated row until the element_at projection, copying O(doc_len)
+    // bytes per BIGRAM (O(len²) per doc through the generator) — measured
+    // as the dominant stage of the decade-tier wall (88 s of 160,
+    // tools/ProbeCappedLm, SCALING.md r12). Zipping the two slices builds
+    // them once per doc and the generator emits 2-word structs.
     val bi0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))")).as("p"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+        col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    val v1 = broadcast(vocabIds.select(col("w").as("w1"), col("wid").as("id1")))
+    val v2 = broadcast(vocabIds.select(col("w").as("w2"), col("wid").as("id2")))
+    // NOT snapshotted: with c1 derived from c2 the mapped stream has two
+    // consumers (c2, scoring), and the whole chain up to here is map-only
+    // codegen (scan → split → zip-explode → two broadcast hash lookups) —
+    // recomputing it twice is cheaper than an eager DISK_ONLY
+    // serialize/write/re-read of the corpus-sized stream (the uncapped
+    // twin's measured 29.7-vs-12.7 materialization win does not carry
+    // over: its three consumers and string-keyed shuffles amortize the
+    // write; this chain's don't — SCALING.md r12 A/B)
+    val bi = bi0.join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
       .select(col("doc_id"),
-        element_at(col("ws"), col("i")).as("w1"),
-        element_at(col("ws"), (col("i") + 1).cast("int")).as("w2"))
-    val v1 = broadcast(vocab.select(col("w").as("w1"), lit(1L).as("__v1")))
-    val v2 = broadcast(vocab.select(col("w").as("w2"), lit(1L).as("__v2")))
-    val bi = graft.util.Snapshots.snap(
-      bi0.join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
-        .select(col("doc_id"),
-          when(col("__v1").isNotNull, col("w1")).otherwise(lit(oov)).as("w1"),
-          when(col("__v2").isNotNull, col("w2")).otherwise(lit(oov)).as("w2")))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val model = c2.join(c1, "w1")
-      .select(col("w1"), col("w2"),
+        coalesce(col("id1"), lit(0)).as("id1"),
+        coalesce(col("id2"), lit(0)).as("id2"))
+    val c2 = bi.groupBy("id1", "id2").agg(count(lit(1)).as("c2"))
+    // c1(id1) = Σ_id2 c2(id1, id2) EXACTLY (both count bigram occurrences
+    // by head word), so the head counts roll up from the MODEL-SIZED c2
+    // instead of a second corpus-wide aggregation — one fewer pass over
+    // the bigram stream; the uncapped twin cannot do this cheaply because
+    // its c2 is corpus-sized
+    val c1 = c2.groupBy("id1").agg(sum("c2").as("c1"))
+    val model = c2.join(c1, "id1")
+      .select(col("id1"), col("id2"),
         round(-log((col("c2") + 1).cast("double") / (col("c1") + lit(vSize)).cast("double"))
           * 1e6, 0).cast("long").as("nll"))
-    bi.join(model, Seq("w1", "w2"))
+    bi.join(model, Seq("id1", "id2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_micro"))
       .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
@@ -650,6 +684,8 @@ object CorpusQueries {
     "q_decontam_bloom" -> (decontamBloom _),
     "q_lang_mixture"   -> (langMixture _),
     "q_ngram_lm"       -> (ngramLm _),
+    "q_ngram_lm_capped" -> ((s: SparkSession, d: String) =>
+      ngramLmScoresCapped(s, d).orderBy("doc_id")),
     "q_token_hist"     -> (tokenHist _),
   )
 
@@ -872,6 +908,35 @@ object CorpusQueries {
                           CAST(round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
                                AS BIGINT) AS nll
                    FROM c2 JOIN c1 USING (w1), vocab)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(nll) AS BIGINT) AS nll_micro,
+              CAST(sum(nll) // count(*) AS BIGINT) AS avg_micro
+       FROM bi JOIN model USING (w1, w2)
+       GROUP BY doc_id ORDER BY doc_id""",
+    // capped twin: same chain over the top-65536+OOV word domain (the
+    // q_ppl_buckets_capped vocabulary mirror), gating the per-doc scores
+    // directly rather than through the bucket rollup
+    "q_ngram_lm_capped" ->
+      """WITH wc AS (SELECT word, count(*) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     GROUP BY word),
+         vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 65536),
+         vn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wf),
+         bir AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2 FROM p0),
+         bi AS (SELECT doc_id,
+                       coalesce(va.word, chr(1)) AS w1,
+                       coalesce(vb.word, chr(1)) AS w2
+                FROM bir LEFT JOIN vocab va ON bir.r1 = va.word
+                         LEFT JOIN vocab vb ON bir.r2 = vb.word),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         model AS (SELECT w1, w2,
+                          CAST(round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS nll
+                   FROM c2 JOIN c1 USING (w1), vn)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
               CAST(sum(nll) AS BIGINT) AS nll_micro,
               CAST(sum(nll) // count(*) AS BIGINT) AS avg_micro
