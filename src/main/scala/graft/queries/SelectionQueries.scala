@@ -475,8 +475,54 @@ object SelectionQueries {
     capped.unionByName(tail).orderBy("doc_id")
   }
 
+  /** URL canonicalization + dedup — the step upstream of [[domainCap]] in
+    * every web-crawl pipeline (CommonCrawl lineage): the same page is
+    * crawled under scheme/host case variants, tracking parameters and
+    * fragments, and naive exact-URL dedup misses all of them. URLs are
+    * synthesized deterministically WITH those variants (upper/lower
+    * scheme+host by doc_id parity, interleaved utm_* tracking params, a
+    * fragment on every third doc; `doc_id div 7` makes 7-doc canonical
+    * groups so the dedup provably collapses), and the ENGINE canonicalizes
+    * by PARSING the string back: lowercase scheme+host, path kept, query
+    * params split and filtered of `utm_*` (order preserved — a HOF filter,
+    * no explode), fragment dropped. Survivor = min doc_id per canonical
+    * URL. Scale shape: parse + filter are one map-only codegen pass; the
+    * only shuffle groups by canonical URL (high-cardinality key, partial
+    * agg). */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val scheme = when(pmod(col("doc_id"), lit(2L)) === 0L, lit("HTTPS://"))
+      .otherwise(lit("https://"))
+    val host = when(pmod(col("doc_id"), lit(4L)) < 2L, lit("News.Example.COM"))
+      .otherwise(lit("news.example.com"))
+    val path = concat(lit("/articles/"), expr("doc_id div 7"))
+    val query = concat(
+      lit("?utm_source=feed"),
+      lit("&page="), pmod(col("doc_id"), lit(3L)),
+      lit("&utm_campaign=q"), pmod(col("doc_id"), lit(2L)))
+    val frag = when(pmod(col("doc_id"), lit(3L)) === 0L, lit("#section-2"))
+      .otherwise(lit(""))
+    val url = concat(scheme, host, path, query, frag)
+    val parsed = documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        lower(regexp_extract(col("url"), "^([A-Za-z]+://[^/?#]+)", 1)).as("sh"),
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path"),
+        regexp_extract(col("url"), "\\?([^#]*)", 1).as("qs"))
+      .withColumn("kept_params", expr(
+        "filter(split(qs, '&'), p -> p NOT LIKE 'utm_%' AND p != '')"))
+      .withColumn("canon_url", concat(col("sh"), col("path"),
+        when(size(col("kept_params")) > 0,
+          concat(lit("?"), array_join(col("kept_params"), "&")))
+          .otherwise(lit(""))))
+    parsed
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_cap"      -> (domainCap _),
+    "q_url_dedup"       -> (urlDedup _),
     "q_ppl_buckets"     -> (pplBuckets _),
     "q_ppl_buckets_capped" -> (pplBucketsCapped _),
     "q_diversity_sample" -> (diversitySample _),
@@ -581,6 +627,38 @@ object SelectionQueries {
               CASE WHEN bucket = 0 THEN 'head'
                    WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_name
        FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
+    // canonicalization mirror: lower(scheme+host), path, utm_*-filtered
+    // query (order preserved), fragment dropped; dedup keeps min doc_id
+    "q_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+                  (CASE WHEN doc_id % 4 < 2 THEN 'News.Example.COM' ELSE 'news.example.com' END) ||
+                  '/articles/' || (doc_id // 7) ||
+                  '?utm_source=feed' || '&page=' || (doc_id % 3) ||
+                  '&utm_campaign=q' || (doc_id % 2) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^([A-Za-z]+://[^/?#]+)', 1)) AS sh,
+                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                  regexp_extract(url, '\?([^#]*)', 1) AS qs
+           FROM u),
+         k AS (
+           SELECT doc_id, sh, path,
+                  list_filter(string_split(qs, '&'),
+                              x -> x NOT LIKE 'utm_%' AND x != '') AS kept
+           FROM p),
+         c AS (
+           SELECT doc_id,
+                  sh || path ||
+                  (CASE WHEN len(kept) > 0 THEN '?' || list_aggr(kept, 'string_agg', '&')
+                        ELSE '' END) AS canon_url
+           FROM k)
+       SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM c GROUP BY canon_url ORDER BY keep_doc_id""",
     // capped twin: vocab = top-65536 words (cnt desc, word asc — total
     // order), every other token maps to the chr(1) OOV bucket, smoothing
     // divides by |vocab|+1; the bucketing chain is q_ppl_buckets' verbatim

@@ -594,10 +594,12 @@ object TextQueries {
     * merges rendered as ⟨j⟩ references (the standard merge-table form:
     * later merges reference earlier ones by index), so no sentinel byte
     * leaves the engine. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val iters = 8
-    val k = 65536
+  /** The K-iteration merge loop shared by [[bpeTrain]] (which emits the
+    * merge table) and [[bpeTokenize]] (which applies it to the corpus):
+    * returns (iter, rawPair, cnt) with rawPair in SENTINEL form (chr(j)
+    * stands for merge j's symbol — the form `replace` chains consume). */
+  private def bpeMergeList(s: SparkSession, d: String,
+                           iters: Int = 8, k: Int = 65536): Seq[(Long, String, Long)] = {
     var v = graft.util.Snapshots.snap(
       documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -622,7 +624,12 @@ object TextQueries {
             col("word_cnt"))
           .filter(length(col("w")) >= 2))
     }
-    val rendered = merges.toSeq.map { case (it, p, c) =>
+    merges.toSeq
+  }
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rendered = bpeMergeList(s, d).map { case (it, p, c) =>
       val r = (1 until it.toInt).foldLeft(p) { (acc, j) =>
         acc.replace(j.toChar.toString, s"⟨$j⟩") }
       (it, r, c)
@@ -630,8 +637,40 @@ object TextQueries {
     rendered.toDF("iter", "pair", "cnt").orderBy("iter")
   }
 
+  /** BPE TOKENIZATION with the trained merges — the application step that
+    * completes [[bpeTrain]]'s story (train → tokenize the corpus): every
+    * corpus word is tokenized by applying the 8 learned merges in
+    * training order (each `replace` collapses one merged pair to one
+    * symbol — sentinels count 1, exactly the trainer's convention), and
+    * the per-language rollup reports the compression the vocabulary buys
+    * (chars = token count at iteration 0; merged symbols shrink it).
+    * Driver state: the 8 collected merge pairs (bounded — the same rows
+    * q_bpe_train emits), inlined as literals into a map-only replace
+    * chain; the corpus pass is one explode + 8 codegen'd replaces + a
+    * |langs|-key rollup. Savings in basis points, integer floor. */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeList(s, d)
+    val word = col("word")
+    val tokenized = merges.foldLeft(word) { case (acc, (it, p, _)) =>
+      replace(acc, lit(p), lit(it.toInt.toChar.toString))
+    }
+    documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .select(col("lang"), length(word).as("n_chars"),
+        length(tokenized).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_tokens").as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        floor((col("n_chars") - col("n_tokens")) * lit(10000) / col("n_chars"))
+          .cast("long").as("savings_bp"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train"         -> (bpeTrain _),
+    "q_bpe_tokenize"      -> (bpeTokenize _),
     "q_curation_v2"       -> (curationV2 _),
     "q_bpe_apply"         -> (bpeApply _),
     "q_vocab_coverage"    -> (vocabCoverage _),
@@ -663,15 +702,18 @@ object TextQueries {
     * the same capped top-65536 word domain; the final projection renders
     * each iteration's sentinels chr(j) as ⟨j⟩ merge references, exactly
     * the engine's driver-side rendering. */
-  private val bpeTrainOracle: String = {
-    val iters = 8
+  private val bpeOracleIters = 8
+
+  /** Shared CTE prefix for the q_bpe_train / q_bpe_tokenize oracles: the
+    * capped word domain plus the 8 unrolled merge-iteration triples. */
+  private val bpeOracleCtes: String = {
     val head =
       """WITH v0 AS (SELECT word AS w, word_cnt FROM (
              SELECT word, count(*) AS word_cnt
              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              WHERE length(word) >= 2 GROUP BY word
              ORDER BY word_cnt DESC, word LIMIT 65536))"""
-    val iterCtes = (1 to iters).map { it =>
+    val iterCtes = (1 to bpeOracleIters).map { it =>
       s"""
          p$it AS (SELECT unnest(list_transform(range(1, length(w)),
                                 i -> substr(w, CAST(i AS INT), 2))) AS pair,
@@ -684,17 +726,39 @@ object TextQueries {
                            word_cnt
                     FROM v${it - 1}) WHERE length(w) >= 2)"""
     }.mkString(",", ",", "")
-    val rows = (1 to iters).map { it =>
+    head + iterCtes
+  }
+
+  private val bpeTrainOracle: String = {
+    val rows = (1 to bpeOracleIters).map { it =>
       val render = (1 until it).foldLeft("pair") { (acc, j) =>
         s"replace($acc, chr($j), '⟨$j⟩')"
       }
       s"SELECT CAST($it AS BIGINT) AS iter, $render AS pair, cnt FROM t$it"
     }.mkString("\n UNION ALL ")
-    s"$head$iterCtes\n$rows\n ORDER BY iter"
+    s"$bpeOracleCtes\n$rows\n ORDER BY iter"
+  }
+
+  private val bpeTokenizeOracle: String = {
+    val applied = (1 to bpeOracleIters).foldLeft("word") { (acc, it) =>
+      s"replace($acc, (SELECT pair FROM t$it), chr($it))"
+    }
+    s"""$bpeOracleCtes,
+       wrds AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+       tok AS (SELECT lang, length(word) AS n_chars,
+                      length($applied) AS n_tokens
+               FROM wrds)
+     SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(n_chars) AS BIGINT) AS n_chars,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(floor((sum(n_chars) - sum(n_tokens)) * 10000 / sum(n_chars)) AS BIGINT)
+              AS savings_bp
+     FROM tok GROUP BY lang ORDER BY lang"""
   }
 
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_tokenize" -> bpeTokenizeOracle,
     // the composed DAG: the q_html_extract strip chain, the
     // q_normalize_text utf8proc NFC mirror, the rule/lang gates, min-id
     // dedup on the normalized md5, then the q_domain_cap
