@@ -316,13 +316,13 @@ object CorpusQueries {
   def ngramLmScores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
-    // bigrams via zipped adjacent slices, NOT a positional explode: an
-    // explode over positions keeps the full `ws` array alongside each
-    // generated row until the element_at projection, copying O(doc_len)
-    // bytes per BIGRAM (O(len²) per doc through the generator) — measured
-    // as the dominant stage of the decade-tier wall (88 s of 160,
-    // tools/ProbeCappedLm, SCALING.md r12). Zipping the two slices builds
-    // them once per doc and the generator emits 2-word structs.
+    // bigrams via zipped adjacent slices, NOT a positional explode: the
+    // positional generator retains the full `ws` array alongside each
+    // generated row until the element_at projection (O(doc_len) bytes per
+    // bigram through the generator). Zipping the two slices builds them
+    // once per doc and the generator emits 2-word structs — strictly less
+    // row traffic (measured neutral at the decade tier, where the
+    // snapshot/shuffle costs dominate — tools/ProbeCappedLm).
     val bi0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -333,7 +333,12 @@ object CorpusQueries {
         col("p").getField("1").as("w2"))
     val bi = graft.util.Snapshots.snap(bi0)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c1(w1) = Σ_w2 c2(w1, w2) EXACTLY (both count bigram occurrences by
+    // head word) — the head counts roll up from c2 instead of a third
+    // corpus-sized aggregation over the snapshot (the capped twin's r12
+    // rewrite, applied here too; value identity is pinned by the ×3-tier
+    // hash gate)
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val model = c2.join(c1, "w1")
       .select(col("w1"), col("w2"),
         round(-log((col("c2") + 1).cast("double") / (col("c1") + lit(v)).cast("double"))
@@ -382,13 +387,13 @@ object CorpusQueries {
     val vSize = vocab.count() + 1 // + the OOV symbol
     // ≤K rows — the single-partition window is bounded, then broadcast
     val vocabIds = vocab.withColumn("wid", row_number().over(Window.orderBy("w")))
-    // bigrams via zipped adjacent slices, NOT a positional explode: an
-    // explode over positions keeps the full `ws` array alongside each
-    // generated row until the element_at projection, copying O(doc_len)
-    // bytes per BIGRAM (O(len²) per doc through the generator) — measured
-    // as the dominant stage of the decade-tier wall (88 s of 160,
-    // tools/ProbeCappedLm, SCALING.md r12). Zipping the two slices builds
-    // them once per doc and the generator emits 2-word structs.
+    // bigrams via zipped adjacent slices, NOT a positional explode: the
+    // positional generator retains the full `ws` array alongside each
+    // generated row until the element_at projection (O(doc_len) bytes per
+    // bigram through the generator). Zipping the two slices builds them
+    // once per doc and the generator emits 2-word structs — strictly less
+    // row traffic (measured neutral at the decade tier, where the
+    // snapshot/shuffle costs dominate — tools/ProbeCappedLm).
     val bi0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
