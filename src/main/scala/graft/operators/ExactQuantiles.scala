@@ -60,17 +60,24 @@ object ExactQuantiles {
 
   /** Per-group exact interpolated quantiles of `valueCol` (a double column).
     * Returns one row per group: (groupCol, <name1>, <name2>, ...) with each
-    * requested (name, q). NULL values are excluded up front — the built-in
-    * `percentile` aggregate skips nulls, and without the filter the
-    * distinct-value rollup would count a null row into `__n` (nulls sort
-    * first under the cumulative window) and shift every quantile position,
-    * making [[byGroupAuto]]'s route choice silently change null semantics
-    * (ADVICE r11 #1). Both routes now agree for any input. */
+    * requested (name, q). NULL handling matches the built-in `percentile`
+    * aggregate in BOTH directions: null values never count toward a
+    * quantile position (ADVICE r11 #1), and a group whose values are ALL
+    * null still emits a row with null quantiles (ADVICE r12 #1 — a
+    * pre-filter would drop the group entirely while [[byGroupAuto]]'s
+    * small-input route keeps it, so the size-routed plan choice would
+    * change output shape). Achieved without an extra group-membership
+    * pass: the null-value bucket stays in the distinct rollup but with
+    * `count(valueCol) = 0`, so it contributes nothing to `__cum`/`__n`
+    * (nulls sort first), can never satisfy a bracketing-position hit, yet
+    * keeps the group alive through the final rollup — where an all-null
+    * group's quantiles interpolate from null brackets to null, exactly the
+    * built-in's answer. Both routes agree for any input. */
   def byGroup(df: DataFrame, groupCol: String, valueCol: String,
               qs: Seq[(String, Double)]): DataFrame = {
-    val counts = df.filter(col(valueCol).isNotNull)
+    val counts = df
       .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(col(valueCol)).as("__cnt"))
     val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
     val wAll = Window.partitionBy(groupCol)
     val cum = counts

@@ -81,6 +81,32 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("all-null group emits a null-quantile row on BOTH routes (ADVICE r12 #1)") {
+    import spark.implicits._
+    // group "z" has only null values: the built-in percentile route emits
+    // (z, null, null); a pre-filtered rollup would drop the group entirely,
+    // so the input-size route choice would change output SHAPE
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)),
+      ("z", None: Option[Double]), ("z", None: Option[Double])
+    ).toDF("g", "v")
+    val qs = Seq("q25" -> 0.25, "q50" -> 0.5)
+    val small = ExactQuantiles.byGroupAuto(df, "g", "v", qs, inputBytes = 1L)
+      .orderBy("g").collect()
+    val big = ExactQuantiles.byGroup(df, "g", "v", qs).orderBy("g").collect()
+    assert(small.length == 2 && big.length == 2,
+      s"all-null group dropped: small=${small.length} big=${big.length}")
+    assert(small.map(_.getString(0)).toSeq == Seq("a", "z"))
+    assert(big.map(_.getString(0)).toSeq == Seq("a", "z"))
+    // the z row's quantiles are null on both routes; a's are bit-identical
+    for (i <- 1 to qs.length) {
+      assert(small(1).isNullAt(i) && big(1).isNullAt(i),
+        s"all-null group quantile $i not null")
+      assert(java.lang.Double.doubleToLongBits(small(0).getDouble(i)) ==
+        java.lang.Double.doubleToLongBits(big(0).getDouble(i)))
+    }
+  }
+
   test("byGroup skips nulls exactly like the percentile aggregate (ADVICE r11 #1)") {
     import spark.implicits._
     // nulls interleaved in every group shape: without the up-front filter

@@ -394,9 +394,14 @@ class MultimodalSpec extends AnyFunSuite {
     val soi = Array(0xff, 0xd8).map(_.toByte)
     val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
       "JFIF".getBytes("US-ASCII") ++ Array.fill(10)(0.toByte)
-    def sof0(h: Int, w: Int) = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++
-      Array(8.toByte) ++ be16(h) ++ be16(w) ++
+    def sof(marker: Int, h: Int, w: Int) = Array(0xff, marker).map(_.toByte) ++
+      be16(17) ++ Array(8.toByte) ++ be16(h) ++ be16(w) ++
       Array(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
+    def sof0(h: Int, w: Int) = sof(0xc0, h, w)
+    // an APPn segment (EXIF/XMP/ICC/Photoshop/Adobe carriers) of `body` bytes
+    def appn(marker: Int, body: Int) = Array(0xff, marker).map(_.toByte) ++
+      be16(body + 2) ++ Array.fill(body)(0x55.toByte)
+    val dqt = Array(0xff, 0xdb).map(_.toByte) ++ be16(67) ++ Array.fill(65)(1.toByte)
     val dht = Array(0xff, 0xc4).map(_.toByte) ++ be16(4) ++ Array.fill(2)(0.toByte)
     val pad = Array(0xff, 0xff, 0xff).map(_.toByte)
     val tem = Array(0xff, 0x01).map(_.toByte)
@@ -409,7 +414,16 @@ class MultimodalSpec extends AnyFunSuite {
       5L -> (soi ++ Array(0xff, 0xe0).map(_.toByte)),   // truncated: marker, no length
       6L -> (soi ++ app0),                              // no SOF at all
       7L -> Array[Byte](1, 2, 3, 4),                    // not a JPEG
-      8L -> (Array(0xde, 0xad).map(_.toByte) ++ soi))   // red-herring mid-stream SOI
+      8L -> (Array(0xde, 0xad).map(_.toByte) ++ soi),   // red-herring mid-stream SOI
+      // the real web-JPEG shape (VERDICT r12 #2): EXIF APP1 + XMP APP1 +
+      // three ICC APP2 chunks + APP13 + APP14 + two DQTs + a DHT before a
+      // PROGRESSIVE SOF2 — 10 segments, beyond the pre-r13 bound of 8
+      9L -> (soi ++ appn(0xe1, 64) ++ appn(0xe1, 200) ++
+        appn(0xe2, 80) ++ appn(0xe2, 80) ++ appn(0xe2, 80) ++
+        appn(0xed, 30) ++ appn(0xee, 12) ++ dqt ++ dqt ++ dht ++
+        sof(0xc2, 1080, 1920)),
+      // progressive SOF2 in the common short shape
+      10L -> (soi ++ app0 ++ sof(0xc2, 600, 800)))
     val df = cases.toDF("id", "payload")
     val got = df.select(col("id"), Multimodal.jpegDims(col("payload")).as("d"))
       .select(col("id"), col("d.w"), col("d.h"))
@@ -427,5 +441,13 @@ class MultimodalSpec extends AnyFunSuite {
       assert(w == expected.map(_._1) && h == expected.map(_._2),
         s"case $id: column walk ($w, $h) vs parseDims $expected")
     }
+    // bound semantics: at the pre-r13 default of 8 steps the EXIF-laden
+    // header's SOF is out of reach and the walk honestly returns null —
+    // the exact silent-drop VERDICT r12 #2 flagged, now pinned
+    val bounded = df.filter(col("id") === 9L)
+      .select(Multimodal.jpegDims(col("payload"), maxSegments = 8).as("d"))
+      .select(col("d.w"), col("d.h")).head()
+    assert(bounded.isNullAt(0) && bounded.isNullAt(1),
+      "an 8-step walk unexpectedly reached the 11-step SOF")
   }
 }
