@@ -597,35 +597,60 @@ object TextQueries {
   /** The K-iteration merge loop shared by [[bpeTrain]] (which emits the
     * merge table) and [[bpeTokenize]] (which applies it to the corpus):
     * returns (iter, rawPair, cnt) with rawPair in SENTINEL form (chr(j)
-    * stands for merge j's symbol — the form `replace` chains consume). */
+    * stands for merge j's symbol — the form `replace` chains consume).
+    * Memoized per (dataset, iters, k) like `schemaMemo` (VERDICT r12 #4:
+    * train and tokenize used to each re-fit the same 8 merges — 16
+    * argmax collects + 16 vocab snapshots where 8 suffice); the fit runs
+    * once per JVM per key, losers of the race block on the winner. The
+    * loop stops early — keeping the merges found so far — if the capped
+    * vocabulary runs dry (no word of length ≥ 2 left: merged words
+    * shorter than 2 chars are filtered out), instead of crashing on an
+    * empty argmax frame (ADVICE r12 #2). */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[Seq[(Long, String, Long)]]]()
+
+  /** Fit counter for the memoization spec — counts actual merge-loop runs,
+    * not memo hits. */
+  private[graft] val bpeFitCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def bpeMergeList(s: SparkSession, d: String,
-                           iters: Int = 8, k: Int = 65536): Seq[(Long, String, Long)] = {
-    var v = graft.util.Snapshots.snap(
-      documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("word_cnt"))
-        .orderBy(col("word_cnt").desc, col("w")).limit(k))
-    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
-    for (it <- 1 to iters) {
-      val top = v
-        .select(explode(transform(
-            sequence(lit(1), length(col("w")) - 1),
-            i => col("w").substr(i, lit(2)))).as("pair"),
-          col("word_cnt"))
-        .groupBy("pair").agg(sum("word_cnt").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).head()
-      val pair = top.getString(0)
-      merges += ((it.toLong, pair, top.getLong(1)))
-      val sentinel = it.toChar.toString // chr(1)..chr(8), absent from text
-      v = graft.util.Snapshots.snap(
-        v.select(replace(col("w"), lit(pair), lit(sentinel)).as("w"),
+                           iters: Int = 8, k: Int = 65536): Seq[(Long, String, Long)] =
+    graft.util.Memo.once(mergeMemo, s"$d|$iters|$k") {
+      bpeFitCount.incrementAndGet()
+      var v = graft.util.Snapshots.snap(
+        documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("word_cnt"))
+          .orderBy(col("word_cnt").desc, col("w")).limit(k))
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      var it = 1
+      var dry = false
+      while (it <= iters && !dry) {
+        val top = v
+          .select(explode(transform(
+              sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2)))).as("pair"),
             col("word_cnt"))
-          .filter(length(col("w")) >= 2))
+          .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect().headOption
+        top match {
+          case None => dry = true // vocabulary exhausted: stop with what we have
+          case Some(row) =>
+            val pair = row.getString(0)
+            merges += ((it.toLong, pair, row.getLong(1)))
+            val sentinel = it.toChar.toString // chr(1)..chr(8), absent from text
+            v = graft.util.Snapshots.snap(
+              v.select(replace(col("w"), lit(pair), lit(sentinel)).as("w"),
+                  col("word_cnt"))
+                .filter(length(col("w")) >= 2))
+            it += 1
+        }
+      }
+      merges.toSeq
     }
-    merges.toSeq
-  }
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
