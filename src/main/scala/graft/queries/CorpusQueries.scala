@@ -304,9 +304,17 @@ object CorpusQueries {
     * `spark.cleaner.referenceTracking.cleanCheckpoints`, set in
     * [[graft.util.Sessions]]), whereas a CacheManager entry would pin
     * executor storage until an explicit unpersist no library caller is
-    * contracted to issue. */
+    * contracted to issue.
+    *
+    * ROUTING (VERDICT r12 #1): the declared surface is input-size-routed
+    * via [[ngramLmScoresAuto]] — at or under [[LmSmallInputBytes]] it is
+    * the uncapped model below (what the standard-tier oracles gate);
+    * above, it is [[ngramLmScoresCapped]], whose state is bounded by
+    * construction. A 100 TB user therefore gets the capped plan by
+    * default; the uncapped estimator remains reachable directly via
+    * [[ngramLmScores]]. */
   def ngramLm(s: SparkSession, d: String): DataFrame =
-    ngramLmScores(s, d).orderBy("doc_id")
+    ngramLmScoresAuto(s, d).orderBy("doc_id")
 
   /** [[ngramLm]] without the presentation sort — the composable form
     * ([[SelectionQueries.pplBuckets]] consumes the per-doc scores inside a
@@ -379,8 +387,18 @@ object CorpusQueries {
   def ngramLmScoresCapped(s: SparkSession, d: String, k: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
+    // control-character words (< 0x20) are excluded from the vocabulary
+    // (ADVICE r12 #5): the oracle's OOV token is chr(1), so a corpus word
+    // equal to a control char reaching the top-K would be conflated with
+    // OOV by the string-keyed oracle but kept distinct by the id-keyed
+    // engine. Excluding them routes such words to the OOV bucket on BOTH
+    // sides — the isomorphism holds for any byte content, not just
+    // control-free corpora. (Same convention as the BPE sentinels; the
+    // driver generator never emits control chars, so standard-tier hashes
+    // are unchanged.)
     val vocab = graft.util.Snapshots.snap(
       docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(!col("w").rlike("[\\x00-\\x1f]"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w")).limit(k)
         .select("w"))
@@ -431,6 +449,113 @@ object CorpusQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_micro"))
       .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
+  }
+
+  /** Inputs at or under this many source bytes keep the faithful UNCAPPED
+    * model; larger inputs route to the capped plan — the size-gated
+    * routing discipline of [[graft.operators.ExactQuantiles.byGroupAuto]]
+    * and the streaming state-store flip, applied to the LM surface
+    * (VERDICT r12 #1: the uncapped twin carries corpus-sized LM state and
+    * measured 36× wall for 10× data on adversarial distinct-heavy text;
+    * the capped twin is bounded by construction). Unlike those flips this
+    * one changes the MODEL, not just the plan — the capped LM is a
+    * different (pruned) estimator — so the bound is set where the
+    * uncapped model stops being a sane choice: past ~256 MB of raw text
+    * the corpus-sized bigram table dwarfs any broadcast budget, and every
+    * production pipeline at that scale prunes (CCNet/KenLM). At 100 TB
+    * the capped plan is therefore the default BY CONSTRUCTION; the
+    * fail-safe direction is capped too (an unresolvable input probes as
+    * `Long.MaxValue` — "can't see it" must never pick the unbounded-state
+    * plan). */
+  val LmSmallInputBytes: Long = 256L << 20
+
+  /** Input-size-routed per-doc LM scores: the surface a 100 TB user gets
+    * by default. Probes the documents source with the fail-safe
+    * [[graft.util.InputSize]] discipline and routes small inputs to
+    * [[ngramLmScores]] (the faithful uncapped model the standard-tier
+    * oracles gate), large ones to [[ngramLmScoresCapped]]. */
+  def ngramLmScoresAuto(s: SparkSession, d: String): DataFrame =
+    ngramLmScoresRouted(s, d,
+      graft.util.InputSize.bytes(s, s"$d/documents.parquet"))
+
+  /** [[ngramLmScoresAuto]] with the probed size injected — the testable
+    * seam ([[graft.operators.ExactQuantiles.byGroupAuto]]'s shape). */
+  def ngramLmScoresRouted(s: SparkSession, d: String, inputBytes: Long): DataFrame =
+    if (inputBytes <= LmSmallInputBytes) ngramLmScores(s, d)
+    else ngramLmScoresCapped(s, d)
+
+  /** Stupid-Backoff bigram LM on the capped vocabulary (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the score
+    * used at web scale precisely because it needs NO normalization pass):
+    * the bigram model is count-pruned (KenLM's pruning discipline —
+    * singleton bigrams are dropped), retained bigrams score their raw
+    * relative frequency S = c2/c1, and pruned ones BACK OFF to the
+    * unigram estimate S = 0.4 · cu(w2)/N (cu = occurrences of w2 as a
+    * bigram tail, N = total bigram occurrences; 0.4 is the paper's
+    * backoff factor). This is the next CCNet-pipeline capability after
+    * [[ngramLmScoresCapped]] (VERDICT r12 #7) and reuses its bounded
+    * tables: c1 and cu both roll up from the model-sized c2, never from a
+    * second corpus pass, and N is one driver scalar off c1.
+    *
+    * Scale shape: identical to the capped twin — the corpus is scanned
+    * once into integer-id bigrams, the model tables are ≤(K+1)² rows by
+    * construction (pruning makes them smaller still), the scoring join is
+    * a left join against the pruned model plus a broadcast unigram
+    * lookup. Per-doc output adds `n_backoff` (how many of the doc's
+    * bigrams took the backoff path — the pruning-coverage audit column).
+    * Same integer micro-nat determinism contract: one ln per MODEL row
+    * (never per token), round-half-up to micro-nats before any sum. */
+  def ngramLmScoresBackoff(s: SparkSession, d: String,
+                           k: Int = 65536, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val vocab = graft.util.Snapshots.snap(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(!col("w").rlike("[\\x00-\\x1f]"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(k)
+        .select("w"))
+    val vocabIds = vocab.withColumn("wid", row_number().over(Window.orderBy("w")))
+    val bi0 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))")).as("p"))
+      .select(col("doc_id"),
+        col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    val v1 = broadcast(vocabIds.select(col("w").as("w1"), col("wid").as("id1")))
+    val v2 = broadcast(vocabIds.select(col("w").as("w2"), col("wid").as("id2")))
+    val bi = bi0.join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("id1"), lit(0)).as("id1"),
+        coalesce(col("id2"), lit(0)).as("id2"))
+    // full (unpruned) bigram counts: c1/cu/N are fit on everything — only
+    // the RETAINED model rows are pruned, per the KenLM convention
+    val c2 = graft.util.Snapshots.snap(
+      bi.groupBy("id1", "id2").agg(count(lit(1)).as("c2")))
+    val c1 = c2.groupBy("id1").agg(sum("c2").as("c1"))
+    val cu = c2.groupBy("id2").agg(sum("c2").as("cu"))
+    val nTotal = c1.agg(sum("c1")).head().getLong(0) // one 1-row collect
+    val model12 = c2.filter(col("c2") >= minCount).join(c1, "id1")
+      .select(col("id1"), col("id2"),
+        round(-log(col("c2").cast("double") / col("c1").cast("double"))
+          * 1e6, 0).cast("long").as("nll12"))
+    val model2 = broadcast(cu
+      .select(col("id2"),
+        round(-log(lit(0.4) * col("cu").cast("double") / lit(nTotal.toDouble))
+          * 1e6, 0).cast("long").as("nll2")))
+    bi.join(model12, Seq("id1", "id2"), "left")
+      .join(model2, Seq("id2"))
+      .select(col("doc_id"),
+        coalesce(col("nll12"), col("nll2")).as("nll"),
+        col("nll12").isNull.cast("long").as("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll")).as("nll_micro"),
+        sum(col("backoff")).as("n_backoff"))
+      .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_backoff", "nll_micro", "avg_micro")
   }
 
   /** Token-count distribution in decimal-magnitude buckets (docs with
@@ -691,6 +816,8 @@ object CorpusQueries {
     "q_ngram_lm"       -> (ngramLm _),
     "q_ngram_lm_capped" -> ((s: SparkSession, d: String) =>
       ngramLmScoresCapped(s, d).orderBy("doc_id")),
+    "q_ngram_lm_backoff" -> ((s: SparkSession, d: String) =>
+      ngramLmScoresBackoff(s, d).orderBy("doc_id")),
     "q_token_hist"     -> (tokenHist _),
   )
 
@@ -924,6 +1051,7 @@ object CorpusQueries {
     "q_ngram_lm_capped" ->
       """WITH wc AS (SELECT word, count(*) AS cnt
                      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     WHERE NOT regexp_matches(word, '[\x00-\x1f]')
                      GROUP BY word),
          vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 65536),
          vn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
@@ -946,6 +1074,43 @@ object CorpusQueries {
               CAST(sum(nll) AS BIGINT) AS nll_micro,
               CAST(sum(nll) // count(*) AS BIGINT) AS avg_micro
        FROM bi JOIN model USING (w1, w2)
+       GROUP BY doc_id ORDER BY doc_id""",
+    // Stupid Backoff on the capped vocabulary: singleton bigrams pruned
+    // from the model; retained ones score -ln(c2/c1); pruned ones back
+    // off to -ln(0.4 * cu(w2) / N) (cu = tail occurrences, N = total
+    // bigrams; c1/cu/N fit on the UNPRUNED counts)
+    "q_ngram_lm_backoff" ->
+      """WITH wc AS (SELECT word, count(*) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     WHERE NOT regexp_matches(word, '[\x00-\x1f]')
+                     GROUP BY word),
+         vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 65536),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wf),
+         bir AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2 FROM p0),
+         bi AS (SELECT doc_id,
+                       coalesce(va.word, chr(1)) AS w1,
+                       coalesce(vb.word, chr(1)) AS w2
+                FROM bir LEFT JOIN vocab va ON bir.r1 = va.word
+                         LEFT JOIN vocab vb ON bir.r2 = vb.word),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         cu AS (SELECT w2, sum(c2) AS cu FROM c2 GROUP BY w2),
+         tot AS (SELECT sum(c1) AS n FROM c1),
+         m12 AS (SELECT w1, w2,
+                        CAST(round(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                             * 1000000) AS BIGINT) AS nll12
+                 FROM c2 JOIN c1 USING (w1) WHERE c2 >= 2),
+         m2 AS (SELECT w2,
+                       CAST(round(-ln(0.4 * CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+                            * 1000000) AS BIGINT) AS nll2
+                FROM cu, tot)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(CASE WHEN nll12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+              CAST(sum(coalesce(nll12, nll2)) AS BIGINT) AS nll_micro,
+              CAST(sum(coalesce(nll12, nll2)) // count(*) AS BIGINT) AS avg_micro
+       FROM bi LEFT JOIN m12 USING (w1, w2) JOIN m2 USING (w2)
        GROUP BY doc_id ORDER BY doc_id""",
     "q_token_hist" ->
       """WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n

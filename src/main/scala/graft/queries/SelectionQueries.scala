@@ -305,7 +305,11 @@ object SelectionQueries {
     * ops are one row_number over high-cardinality (lang, score) groups
     * and the final ≤ |langs|·3-group rollup. */
   def pplBuckets(s: SparkSession, d: String): DataFrame =
-    pplBucketsFrom(s, d, CorpusQueries.ngramLmScores(s, d))
+    // input-size-routed LM (VERDICT r12 #1): small inputs score with the
+    // faithful uncapped model this query's oracle gates; past
+    // CorpusQueries.LmSmallInputBytes the capped plan feeds the same
+    // bucketing machinery (fail-safe direction: capped)
+    pplBucketsFrom(s, d, CorpusQueries.ngramLmScoresAuto(s, d))
 
   /** [[pplBuckets]] over the VOCABULARY-CAPPED LM
     * ([[CorpusQueries.ngramLmScoresCapped]] — top-K words + OOV bucket,
@@ -665,6 +669,7 @@ object SelectionQueries {
     "q_ppl_buckets_capped" ->
       """WITH wc AS (SELECT word, count(*) AS cnt
                      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     WHERE NOT regexp_matches(word, '[\x00-\x1f]')
                      GROUP BY word),
          vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 65536),
          vn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
