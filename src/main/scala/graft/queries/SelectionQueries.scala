@@ -485,8 +485,12 @@ object SelectionQueries {
     * fragments, and naive exact-URL dedup misses all of them. URLs are
     * synthesized deterministically WITH those variants (upper/lower
     * scheme+host by doc_id parity, interleaved utm_* tracking params, a
-    * fragment on every third doc; `doc_id div 7` makes 7-doc canonical
-    * groups so the dedup provably collapses), and the ENGINE canonicalizes
+    * fragment on every third doc; the path groups by `doc_id div 7` but
+    * the RETAINED `page=(doc_id % 3)` parameter splits each 7-doc path
+    * group into 2-3 canonical URLs — the group structure is
+    * (div 7, % 3), not 7 flat (ADVICE r12 #4); [[urlDedupV2]]'s variant
+    * set derives page from the path group so its groups DO collapse
+    * whole), and the ENGINE canonicalizes
     * by PARSING the string back: lowercase scheme+host, path kept, query
     * params split and filtered of `utm_*` (order preserved — a HOF filter,
     * no explode), fragment dropped. Survivor = min doc_id per canonical
@@ -524,7 +528,72 @@ object SelectionQueries {
       .orderBy("keep_doc_id")
   }
 
+  /** [[urlDedup]] hardened toward the CommonCrawl canonicalization
+    * spelling (VERDICT r12 #6) with the three highest-frequency duplicate
+    * classes real crawls hit after utm/fragment:
+    *
+    *   - SORTED query parameters (crawlers see `?a=1&b=2` and
+    *     `?b=2&a=1` for the same page) — the kept params are
+    *     `array_sort`ed, not order-preserved;
+    *   - DEFAULT-PORT strip (`https://h:443/` ≡ `https://h/`,
+    *     `http://h:80/` ≡ `http://h/`) — but ONLY default ports: a
+    *     synthesized `:8443` variant must survive as its own canonical
+    *     URL, pinning that the rule is scheme-aware, not "strip any
+    *     port";
+    *   - TRAILING-SLASH normalization (`/a/` ≡ `/a`, root `/` kept).
+    *
+    * URL variants are synthesized to exercise every rule: case-varied
+    * scheme+host (parity), `:443`/`:8443`/no port by doc_id mod 5,
+    * trailing slash on odd docs, query params in BOTH orders with
+    * `page` derived from the PATH group (`(doc_id div 7) mod 3`) so a
+    * 7-doc path run collapses except where the kept `:8443` port class
+    * honestly splits it. Same scale shape as v1: one map-only
+    * parse/normalize pass, one partial-agg shuffle on the
+    * high-cardinality canonical key. */
+  def urlDedupV2(s: SparkSession, d: String): DataFrame = {
+    val scheme = when(pmod(col("doc_id"), lit(2L)) === 0L, lit("HTTPS://"))
+      .otherwise(lit("https://"))
+    val host = when(pmod(col("doc_id"), lit(4L)) < 2L, lit("News.Example.COM"))
+      .otherwise(lit("news.example.com"))
+    val port = when(pmod(col("doc_id"), lit(5L)) === 0L, lit(":443"))
+      .when(pmod(col("doc_id"), lit(5L)) === 1L, lit(":8443"))
+      .otherwise(lit(""))
+    val grp = expr("doc_id div 7")
+    val pg = pmod(grp, lit(3L))
+    val path = concat(lit("/articles/"), grp,
+      when(pmod(col("doc_id"), lit(2L)) === 1L, lit("/")).otherwise(lit("")))
+    val query = when(pmod(col("doc_id"), lit(2L)) === 0L,
+        concat(lit("?page="), pg, lit("&utm_source=feed")))
+      .otherwise(concat(lit("?utm_source=feed&page="), pg, lit("&utm_campaign=q")))
+    val frag = when(pmod(col("doc_id"), lit(3L)) === 0L, lit("#section-2"))
+      .otherwise(lit(""))
+    val url = concat(scheme, host, port, path, query, frag)
+    val parsed = documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        lower(regexp_extract(col("url"), "^([A-Za-z]+://[^/?#]+)", 1)).as("sh"),
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path"),
+        regexp_extract(col("url"), "\\?([^#]*)", 1).as("qs"))
+      .withColumn("sh_np", regexp_replace(
+        regexp_replace(col("sh"), "^(https://[^/:]+):443$", "$1"),
+        "^(http://[^/:]+):80$", "$1"))
+      .withColumn("path_n",
+        when(col("path") === "/", lit("/"))
+          .otherwise(regexp_replace(col("path"), "/$", "")))
+      .withColumn("kept_params", array_sort(expr(
+        "filter(split(qs, '&'), p -> p NOT LIKE 'utm_%' AND p != '')")))
+      .withColumn("canon_url", concat(col("sh_np"), col("path_n"),
+        when(size(col("kept_params")) > 0,
+          concat(lit("?"), array_join(col("kept_params"), "&")))
+          .otherwise(lit(""))))
+    parsed
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_dedup_v2"    -> (urlDedupV2 _),
     "q_domain_cap"      -> (domainCap _),
     "q_url_dedup"       -> (urlDedup _),
     "q_ppl_buckets"     -> (pplBuckets _),
@@ -660,6 +729,46 @@ object SelectionQueries {
                   (CASE WHEN len(kept) > 0 THEN '?' || list_aggr(kept, 'string_agg', '&')
                         ELSE '' END) AS canon_url
            FROM k)
+       SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM c GROUP BY canon_url ORDER BY keep_doc_id""",
+    // v2 mirror: + sorted params, default-port strip (scheme-aware: :8443
+    // survives), trailing-slash normalization (root '/' kept)
+    "q_url_dedup_v2" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+                  (CASE WHEN doc_id % 4 < 2 THEN 'News.Example.COM' ELSE 'news.example.com' END) ||
+                  (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                        WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END) ||
+                  '/articles/' || (doc_id // 7) ||
+                  (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+                  (CASE WHEN doc_id % 2 = 0
+                        THEN '?page=' || ((doc_id // 7) % 3) || '&utm_source=feed'
+                        ELSE '?utm_source=feed&page=' || ((doc_id // 7) % 3) || '&utm_campaign=q' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^([A-Za-z]+://[^/?#]+)', 1)) AS sh,
+                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                  regexp_extract(url, '\?([^#]*)', 1) AS qs
+           FROM u),
+         n AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(sh, '^(https://[^/:]+):443$', '\1'),
+                                 '^(http://[^/:]+):80$', '\1') AS sh_np,
+                  CASE WHEN path = '/' THEN '/'
+                       ELSE regexp_replace(path, '/$', '') END AS path_n,
+                  list_sort(list_filter(string_split(qs, '&'),
+                              x -> x NOT LIKE 'utm_%' AND x != '')) AS kept
+           FROM p),
+         c AS (
+           SELECT doc_id,
+                  sh_np || path_n ||
+                  (CASE WHEN len(kept) > 0 THEN '?' || list_aggr(kept, 'string_agg', '&')
+                        ELSE '' END) AS canon_url
+           FROM n)
        SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
               CAST(count(*) AS BIGINT) AS n_copies
        FROM c GROUP BY canon_url ORDER BY keep_doc_id""",
