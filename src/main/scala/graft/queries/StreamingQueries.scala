@@ -83,18 +83,48 @@ object StreamingQueries {
     * Hadoop FS API ([[graft.util.InputSize]] — recursive, any scheme,
     * unresolvable → Long.MaxValue → RocksDB, the fail-safe direction;
     * VERDICT r11 #2 + ADVICE r11 #3/#4). */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private def stateStoreProvider(s: SparkSession, d: String,
-                                 sources: Seq[String]): Option[String] = {
-    val rocks =
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+                                 sources: Seq[String]): Option[String] =
     sys.env.get("SPARK_GRAFT_STATESTORE") match {
-      case Some("rocksdb") => Some(rocks)
+      case Some("rocksdb") => Some(RocksDbProvider)
       case Some(_) => None
       case None =>
         val bytes = graft.util.InputSize.maxBytes(s, sources.map(t => s"$d/$t"))
-        if (bytes > (64L << 20)) Some(rocks) else None
+        if (bytes > (64L << 20)) Some(RocksDbProvider) else None
     }
-  }
+
+  /** Estimated join-state ROWS at or under this bound keep the on-heap
+    * provider for the stream-stream join entry. Why rows, not bytes
+    * (VERDICT r12 #3): a symmetric hash join buffers ONE state row per
+    * input row inside the watermark horizon — under the single-batch
+    * AvailableNow pin that is every filtered source row — so its state is
+    * row-shaped, and the generic 64 MB byte trigger over-fires by the
+    * parquet compression ratio. Measured (SCALING.md r13, ProbeStreamJoin
+    * A/B): at the 100× tier (10 M source rows, 183 MB) the byte trigger
+    * forced RocksDB at 25.3 s while on-heap runs 13.4 s — and on-heap
+    * completes at the DEFAULT 8 GiB heap, not just the sweep's 64 GiB.
+    * The bound sits 3× above that measured-safe tier and well under the
+    * 1000× tier (100 M rows) where ~35 M buffered rows × ~200 B of
+    * UnsafeRow+map overhead would crowd a default heap. Fail-safe: an
+    * unresolvable source estimates `Long.MaxValue` rows → RocksDB. */
+  val JoinStateMaxRows: Long = 32L * 1000 * 1000
+
+  /** Row-estimated provider choice for the stream-stream join
+    * ([[streamClickAttribution]]): same env override contract as
+    * [[stateStoreProvider]], but the automatic trigger counts parquet
+    * footer rows ([[graft.util.InputSize.parquetRows]]) instead of bytes. */
+  private[queries] def joinStateProvider(s: SparkSession, d: String,
+                                         sources: Seq[String]): Option[String] =
+    sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") => Some(RocksDbProvider)
+      case Some(_) => None
+      case None =>
+        val rows = graft.util.InputSize.maxParquetRows(s, sources.map(t => s"$d/$t"))
+        if (rows > JoinStateMaxRows) Some(RocksDbProvider) else None
+    }
 
   /** State-partition count for the declared streaming entries (VERDICT
     * r10 #5, measured in [[graft.tools.ProbeStreamParts]] + SCALING.md
@@ -141,14 +171,16 @@ object StreamingQueries {
     * applies regardless of what an earlier run left behind. `sources`
     * names the stream's own input tables for the size-routed knobs. */
   private def runAvailableNow(agg: DataFrame, s: SparkSession, d: String,
-                              sources: Seq[String] = Seq("events.parquet")): DataFrame = {
+                              sources: Seq[String] = Seq("events.parquet"),
+                              chooseProvider: (SparkSession, String, Seq[String]) => Option[String]
+                                = stateStoreProvider): DataFrame = {
     val out = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_out")).toString
     val ckpt = graft.util.TempLayouts.register(
       java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val savedProvider = s.conf.getOption(providerKey)
-    stateStoreProvider(s, d, sources) match {
+    chooseProvider(s, d, sources) match {
       case Some(p) => s.conf.set(providerKey, p)
       case None => s.conf.unset(providerKey)
     }
@@ -297,7 +329,11 @@ object StreamingQueries {
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    runAvailableNow(joined, s, d).orderBy("click_id", "purchase_id")
+    // join state is ROW-shaped (one buffered row per in-horizon input
+    // row), so this entry flips providers on estimated state rows, not
+    // source bytes — see [[JoinStateMaxRows]] for the measured rationale
+    runAvailableNow(joined, s, d, chooseProvider = joinStateProvider)
+      .orderBy("click_id", "purchase_id")
   }
 
   /** readStream(events) → `dropDuplicates(user_id, event_type)` → parquet

@@ -40,6 +40,51 @@ object InputSize {
   def maxBytes(spark: SparkSession, paths: Seq[String]): Long =
     paths.map(bytes(spark, _)).max
 
+  /** Parquet ROW count from file footers — the state-row estimator for
+    * streaming operators whose state is row-shaped rather than
+    * byte-shaped (VERDICT r12 #3: a stream-stream join buffers one state
+    * row per input row inside the watermark horizon, so raw source BYTES
+    * over-trigger the RocksDB flip by the compression ratio — ~10× on
+    * these tiers). Footers only: no column data is read, cost is one
+    * metadata read per file. Fail-safe like [[bytes]]: an unresolvable
+    * path or unreadable footer reports `Long.MaxValue`, which must route
+    * the caller to its LARGE-state plan — "can't see it" never means
+    * "small". */
+  def parquetRows(spark: SparkSession, path: String): Long =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Long.MaxValue
+      else {
+        val it = fs.listFiles(p, true)
+        var total = 0L
+        var any = false
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+            any = true
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            try total += reader.getRecordCount finally reader.close()
+          }
+        }
+        // a bare single-file path is not matched by listFiles' recursion
+        // on some schemes; handle it directly
+        if (!any && fs.getFileStatus(p).isFile) {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try total = reader.getRecordCount finally reader.close()
+        } else if (!any) total = Long.MaxValue // no parquet found: fail safe
+        total
+      }
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** Largest row count across several source paths — [[maxBytes]]' twin
+    * for row-shaped state sizing. */
+  def maxParquetRows(spark: SparkSession, paths: Seq[String]): Long =
+    paths.map(parquetRows(spark, _)).max
+
   /** Directory test through the same FileSystem resolution (single-file
     * vs directory parquet layouts need different source globs for the
     * file-stream reader). Unresolvable paths report false — the caller's

@@ -44,6 +44,25 @@ class InputSizeSpec extends AnyFunSuite {
       Seq(s"$sf/region.parquet", "/nonexistent/x")) == Long.MaxValue)
   }
 
+  test("parquetRows counts footer rows and fails toward MaxValue") {
+    // exact row count from footers, no data read — single-file layout
+    val expected = spark.read.parquet(s"$sf/region.parquet").count()
+    assert(InputSize.parquetRows(spark, s"$sf/region.parquet") == expected)
+    // directory layout (Spark-written multi-part)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rows").toString
+    import spark.implicits._
+    (1 to 137).toDF("x").repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    assert(InputSize.parquetRows(spark, s"$dir/t.parquet") == 137L)
+    // fail-safe: unresolvable path, non-parquet content -> MaxValue (the
+    // row-estimated provider flip must pick the spillable plan blind)
+    assert(InputSize.parquetRows(spark, "/nonexistent/graft/x.parquet") == Long.MaxValue)
+    val empty = java.nio.file.Files.createTempDirectory("graft_rows_empty").toString
+    assert(InputSize.parquetRows(spark, empty) == Long.MaxValue)
+    assert(InputSize.maxParquetRows(spark,
+      Seq(s"$sf/region.parquet", "/nonexistent/x")) == Long.MaxValue)
+  }
+
   test("isDirectory distinguishes layouts and fails closed") {
     assert(!InputSize.isDirectory(spark, s"$sf/region.parquet"))
     assert(InputSize.isDirectory(spark, sf))
