@@ -86,14 +86,25 @@ object StreamingQueries {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Manual provider override: the SPARK_GRAFT_STATESTORE env var (per
+    * run) or the `spark.graft.statestore` system property (settable
+    * in-JVM — what [[graft.tools.ProbeStateStore]]'s A/B legs use, since
+    * the declared entries re-choose the session conf per stream and a
+    * conf set by the probe would be silently overwritten). `None` =
+    * no override, apply the automatic trigger. */
+  private def manualProvider: Option[Option[String]] =
+    sys.env.get("SPARK_GRAFT_STATESTORE")
+      .orElse(sys.props.get("spark.graft.statestore"))
+      .map {
+        case "rocksdb" => Some(RocksDbProvider)
+        case _ => None
+      }
+
   private def stateStoreProvider(s: SparkSession, d: String,
                                  sources: Seq[String]): Option[String] =
-    sys.env.get("SPARK_GRAFT_STATESTORE") match {
-      case Some("rocksdb") => Some(RocksDbProvider)
-      case Some(_) => None
-      case None =>
-        val bytes = graft.util.InputSize.maxBytes(s, sources.map(t => s"$d/$t"))
-        if (bytes > (64L << 20)) Some(RocksDbProvider) else None
+    manualProvider.getOrElse {
+      val bytes = graft.util.InputSize.maxBytes(s, sources.map(t => s"$d/$t"))
+      if (bytes > (64L << 20)) Some(RocksDbProvider) else None
     }
 
   /** Estimated join-state ROWS at or under this bound keep the on-heap
@@ -118,12 +129,9 @@ object StreamingQueries {
     * footer rows ([[graft.util.InputSize.parquetRows]]) instead of bytes. */
   private[queries] def joinStateProvider(s: SparkSession, d: String,
                                          sources: Seq[String]): Option[String] =
-    sys.env.get("SPARK_GRAFT_STATESTORE") match {
-      case Some("rocksdb") => Some(RocksDbProvider)
-      case Some(_) => None
-      case None =>
-        val rows = graft.util.InputSize.maxParquetRows(s, sources.map(t => s"$d/$t"))
-        if (rows > JoinStateMaxRows) Some(RocksDbProvider) else None
+    manualProvider.getOrElse {
+      val rows = graft.util.InputSize.maxParquetRows(s, sources.map(t => s"$d/$t"))
+      if (rows > JoinStateMaxRows) Some(RocksDbProvider) else None
     }
 
   /** State-partition count for the declared streaming entries (VERDICT

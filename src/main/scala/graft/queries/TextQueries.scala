@@ -598,6 +598,14 @@ object TextQueries {
     * merge table) and [[bpeTokenize]] (which applies it to the corpus):
     * returns (iter, rawPair, cnt) with rawPair in SENTINEL form (chr(j)
     * stands for merge j's symbol — the form `replace` chains consume).
+    * Corpus invariant (ADVICE r12 #5's sibling): sentinel bytes chr(1)..
+    * chr(iters) must not occur in corpus words — the driver generator
+    * guarantees control-free text, and [[graft.expr.NormalizeText]]
+    * (controls→space) enforces it for any pipeline that normalizes
+    * first. A word CONTAINING a sentinel byte would conflate with a
+    * merged symbol in both engine and oracle (they mirror the
+    * convention, so they'd still agree — the invariant guards the
+    * SEMANTIC reading of the merge table, not cross-engine parity).
     * Memoized per (dataset, iters, k) like `schemaMemo` (VERDICT r12 #4:
     * train and tokenize used to each re-fit the same 8 merges — 16
     * argmax collects + 16 vocab snapshots where 8 suffice); the fit runs

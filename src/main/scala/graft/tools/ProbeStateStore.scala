@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * must never change WHAT a stateful operator emits, only where its state
   * lives).
   *
-  * The RocksDB leg sets the session conf directly; the declared entries
-  * only override the provider when SPARK_GRAFT_STATESTORE says so, so the
-  * conf this tool sets is what their queries start under.
+  * The RocksDB leg sets the `spark.graft.statestore` system property —
+  * the in-JVM override channel the entries' provider choosers consult
+  * before their automatic size/row triggers. (Setting the session conf
+  * directly stopped working in r11 when the entries began re-choosing
+  * the provider per stream: each runAvailableNow sets-or-unsets the
+  * conf, silently overwriting anything this tool set.)
   *
   * Usage: graft_run.sh graft.tools.ProbeStateStore <sfDir>
   */
@@ -39,8 +42,9 @@ object ProbeStateStore {
       }
 
     runAll("warmup") // session/codegen/FS warm so the A and B legs compare clean
+    sys.props("spark.graft.statestore") = "default"
     val base = runAll("default")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    sys.props("spark.graft.statestore") = "rocksdb"
     val rocks = runAll("rocksdb")
     val byName = rocks.map(r => r._1 -> r).toMap
     var diverged = false

@@ -93,5 +93,15 @@ class StreamingQueriesSpec extends AnyFunSuite {
     // unresolvable source: fail-safe direction
     assert(StreamingQueries.joinStateProvider(spark, "/nonexistent/graft",
       Seq("events.parquet")).contains(rocks))
+    // the in-JVM override channel (what ProbeStateStore's A/B legs use)
+    // beats the automatic trigger in both directions
+    try {
+      sys.props("spark.graft.statestore") = "rocksdb"
+      assert(StreamingQueries.joinStateProvider(spark, sf,
+        Seq("events.parquet")).contains(rocks))
+      sys.props("spark.graft.statestore") = "default"
+      assert(StreamingQueries.joinStateProvider(spark, "/nonexistent/graft",
+        Seq("events.parquet")).isEmpty)
+    } finally sys.props.remove("spark.graft.statestore")
   }
 }
