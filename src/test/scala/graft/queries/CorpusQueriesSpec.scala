@@ -145,6 +145,32 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(rows(2L) == ((1L, 405465L, 405465L)))
   }
 
+  test("ngram_lm_backoff: hand-computed fixture exercises OOV, pruning AND backoff") {
+    // K=2 caps the vocab to {a, b} (counts a:4, b:3; c/d/e -> OOV ␁);
+    // doc 1 "a b a b c a" -> bigrams (a,b)(b,a)(a,b)(b,␁)(␁,a),
+    // doc 2 "a b d" -> (a,b)(b,␁), doc 3 single-word -> excluded.
+    // c2: (a,b):3 (b,␁):2 (b,a):1 (␁,a):1; c1: a:3 b:3 ␁:1;
+    // cu: b:3 ␁:2 a:2; N=7. Pruned model (c2>=2):
+    //   nll(a,b) = -ln(3/3) = 0; nll(b,␁) = -ln(2/3) -> 405465
+    // Backoff (c2=1 rows fall out of the model): both end in a ->
+    //   nll2(a) = -ln(0.4*2/7) = ln(8.75) -> 2169054 micro-nats
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bo_fixture").toString
+    Seq((1L, "a b a b c a"), (2L, "a b d"), (3L, "e"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusQueries.ngramLmScoresBackoff(spark, dir, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L), "single-word doc 3 must be excluded")
+    val nllBOov = 405465L          // -ln(2/3) in micro-nats, round half-up
+    val nll2a = 2169054L           // -ln(0.4*2/7)
+    assert(rows(1L) == ((5L, 2L, nllBOov + 2 * nll2a, (nllBOov + 2 * nll2a) / 5)),
+      s"doc 1 got ${rows(1L)}")
+    assert(rows(2L) == ((2L, 0L, nllBOov, nllBOov / 2)), s"doc 2 got ${rows(2L)}")
+  }
+
   test("ngram_lm: reliable checkpoint mode when a checkpointDir is set (executor-loss safety)") {
     // The Components.snap policy (VERDICT r8 #6): with a checkpointDir the
     // shared (doc_id, w1, w2) materialization must go to STABLE storage —

@@ -301,4 +301,28 @@ class SelectionQueriesSpec extends AnyFunSuite {
     }
     assert(base == weird, "domain cap output depends on partition layout")
   }
+
+  test("url_dedup_v2: every canonicalization rule verified on the real output") {
+    val out = SelectionQueries.urlDedupV2(spark, sf).collect()
+    val urls = out.map(_.getString(0))
+    assert(urls.nonEmpty)
+    // default-port strip is scheme-aware: no :443 survives, :8443 MUST
+    assert(urls.forall(u => !u.contains(":443/") && !u.endsWith(":443")),
+      "default https port survived canonicalization")
+    assert(urls.exists(_.contains(":8443")), "non-default port was wrongly stripped")
+    // trailing slash normalized (no root-path URL in the synthesized set)
+    assert(urls.forall(u => !u.endsWith("/")), "trailing slash survived")
+    // trackers + fragments dropped; scheme/host lowercased
+    assert(urls.forall(u => !u.contains("utm_") && !u.contains("#")))
+    assert(urls.forall(u => u.substring(0, u.indexOf('/', 8)) ==
+      u.substring(0, u.indexOf('/', 8)).toLowerCase), "host not lowercased")
+    // kept query params are sorted
+    urls.filter(_.contains("?")).foreach { u =>
+      val ps = u.substring(u.indexOf('?') + 1).split("&").toSeq
+      assert(ps == ps.sorted, s"params not sorted in $u")
+    }
+    // partition of the corpus: copy counts sum to the doc count
+    assert(out.map(_.getLong(2)).sum ==
+      graft.util.Tables.documents(spark, sf).count())
+  }
 }
