@@ -93,6 +93,21 @@ object Extract {
       df.filter(bad).select(col("value").as("raw_line")))
   }
 
+  /** ORC sink/source twins (engine addition — the reference is CSV/parquet
+    * only, but a 100 TB estate is rarely single-format and ORC is the
+    * columnar layout much of the Hive world still writes). Wired through
+    * Spark's declarative scan path exactly like parquet, so predicate
+    * pushdown and column pruning reach the ORC reader — `PushedFilters` /
+    * a pruned `ReadSchema` in the scan, spec-asserted — and the format
+    * round-trip is oracle-gated for value parity (`q_orc_ingest`: the
+    * engine aggregates ORC, DuckDB aggregates the same rows from parquet;
+    * a hash match proves the writer+reader lose nothing). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** P8/P9 (`extract.py:121-147`): data-quality validation. Note the
     * reference defines but never calls this from main (SURVEY §5) — we wire
     * it into the pipeline for real. */

@@ -169,15 +169,56 @@ object PipelineQueries {
     }.reduce(_ unionByName _).orderBy("shard")
   }
 
+  /** ORC format-parity round-trip ([[graft.ops.Extract.writeOrc]] /
+    * [[graft.ops.Extract.readOrc]]): lineitem's key columns are written
+    * to ORC ONCE per (application, dataset) — `Memo.once`, temp dir
+    * registered for exit cleanup, the bucketed-star-tables discipline —
+    * then read back THROUGH THE ORC SCAN with a pushed filter and a
+    * pruned projection, and aggregated with integer-exact sums. The
+    * oracle runs the identical aggregate over the PARQUET lineitem, so a
+    * hash match proves the ORC writer+reader round-trip loses nothing.
+    * The scan-shape claims (PushedFilters on l_returnflag, l_quantity
+    * pruned out of ReadSchema) are spec-asserted. */
+  private val orcMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  def orcIngest(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = graft.util.Memo.once(orcMemo, key) {
+      val dir = graft.util.TempLayouts.register(
+        java.nio.file.Files.createTempDirectory("graft_orc_")).toString
+      graft.ops.Extract.writeOrc(li, s"$dir/lineitem_orc")
+      s"$dir/lineitem_orc"
+    }
+    graft.ops.Extract.readOrc(s, path)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(col("l_linenumber").cast("long")).as("line_sum"))
+      .orderBy("l_linestatus")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_decontam"          -> (decontam _),
     "q_tfidf"             -> (tfidfTopTerms _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_jsonl_ingest"      -> (jsonlIngest _),
+    "q_orc_ingest"        -> (orcIngest _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the engine aggregated these rows from its ORC round-trip; the oracle
+    // reads the SAME rows from parquet — a hash match is format parity
+    "q_orc_ingest" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+              CAST(sum(l_linenumber) AS BIGINT) AS line_sum
+       FROM lineitem WHERE l_returnflag = 'R'
+       GROUP BY l_linestatus ORDER BY l_linestatus""",
     // transitive closure via recursive CTE — feasible for the oracle because
     // component sizes are bounded at the oracle tiers (reach rows = Σ s²)
     "q_dedup_clusters" ->

@@ -94,4 +94,28 @@ class PipelineQueriesSpec extends AnyFunSuite {
       assert(rows.forall(_.getLong(2) == rows.length))
     }
   }
+
+  test("orc ingest: pushdown and pruning reach the ORC scan; values match parquet") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf
+    val df = PipelineQueries.orcIngest(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter must be INSIDE the ORC reader, not a post-scan Filter only
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+    // the written table carries l_quantity; the query never reads it — the
+    // ORC ReadSchema must exclude it (column pruning through the format)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity"),
+      s"l_quantity not pruned from the ORC scan: $readSchema")
+    // format parity against the parquet-native aggregate, value for value
+    val viaParquet = graft.util.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(col("l_linenumber").cast("long")).as("line_sum"))
+      .orderBy("l_linestatus").collect().toSeq
+    assert(df.collect().toSeq == viaParquet && viaParquet.nonEmpty)
+  }
 }
