@@ -246,6 +246,30 @@ object Multimodal {
       Some((be32(16), be32(20)))
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
       Some((le16(6), le16(8)))
+    else if (p.length >= 25 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+             p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
+      // WebP (VERDICT r13 #6): each variant carries dims at FIXED offsets
+      // after the 12-byte RIFF/WEBP header + 8-byte chunk header —
+      //   "VP8 " lossy: 3-byte frame tag, sync 9D 01 2A, then 14-bit
+      //                 LE width/height at 26/28;
+      //   "VP8L" lossless: sig 0x2F, then (w-1) in bits 0-13 and (h-1)
+      //                 in bits 14-27 of the LE32 at 21;
+      //   "VP8X" extended: flags+reserved, then LE24 canvas (w-1)/(h-1)
+      //                 at 24/27.
+      def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      val cc = new String(p, 12, 4, "US-ASCII")
+      cc match {
+        case "VP8 " if p.length >= 30 &&
+            u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a =>
+          Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+        case "VP8L" if u8(20) == 0x2f =>
+          val b = le24(21).toLong | (u8(24).toLong << 24)
+          Some((1 + (b & 0x3fff).toInt, 1 + ((b >> 14) & 0x3fff).toInt))
+        case "VP8X" if p.length >= 30 =>
+          Some((1 + le24(24), 1 + le24(27)))
+        case _ => None
+      }
+    }
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
       while (i + 1 < p.length && u8(i) == 0xff) {
@@ -348,6 +372,54 @@ object Multimodal {
       acc => struct(acc.getField("w").as("w"), acc.getField("h").as("h")))
     when(isJpeg(payload), walk)
       .otherwise(struct(nullInt.as("w"), nullInt.as("h")))
+  }
+
+  /** WebP (RIFF + "WEBP") signature test as a column expression. */
+  def isWebp(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(call_function("substr", payload, lit(1), lit(4))) === "52494646" &&
+      hex(call_function("substr", payload, lit(9), lit(4))) === "57454250"
+
+  /** WebP (width, height) as a pure column expression — the [[pngWidth]]
+    * contract for the third-dominant web image format (VERDICT r13 #6:
+    * WebP is a double-digit share of web corpora and the pair-curation
+    * gate used to null it). Unlike JPEG there is NO marker walk: all
+    * three container variants carry dims at fixed offsets
+    * ([[parseDims]]' WebP branch documents them), so this is straight
+    * offset arithmetic at scan speed, codegen-friendly, reading only the
+    * payload's leading bytes:
+    *   - "VP8 " (lossy): 14-bit LE width/height at 26/28, gated on the
+    *     9D 01 2A sync code;
+    *   - "VP8L" (lossless): (w-1)/(h-1) packed 14 bits each into the
+    *     LE32 at 21 (long arithmetic — bit 28+ carry alpha/version);
+    *   - "VP8X" (extended): LE24 canvas (w-1)/(h-1) at 24/27.
+    * Returns `struct(w INT, h INT)` with null fields for non-WebP
+    * payloads, unknown chunk types, or truncated headers. */
+  def webpDims(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def u8(off: Int): Column = // off is a 0-based byte offset
+      conv(hex(call_function("substr", payload, lit(off + 1), lit(1))), 16, 10).cast("int")
+    val plen = length(payload)
+    val nullInt = lit(null).cast("int")
+    val noDims = struct(nullInt.as("w"), nullInt.as("h"))
+    val fourcc = hex(call_function("substr", payload, lit(13), lit(4)))
+    val lossy = fourcc === "56503820" && plen >= 30 && // "VP8 " + sync code
+      hex(call_function("substr", payload, lit(24), lit(3))) === "9D012A"
+    val lossless = fourcc === "5650384C" && plen >= 25 && u8(20) === 0x2f // "VP8L"
+    val extended = fourcc === "56503858" && plen >= 30 // "VP8X"
+    val bL = u8(21).cast("long") + u8(22).cast("long") * 256L +
+      u8(23).cast("long") * 65536L + u8(24).cast("long") * 16777216L
+    when(isWebp(payload) && plen >= 25,
+      when(lossy, struct(
+        pmod(u8(26) + u8(27) * 256, lit(16384)).as("w"),
+        pmod(u8(28) + u8(29) * 256, lit(16384)).as("h")))
+      .when(lossless, struct(
+        (pmod(bL, lit(16384L)) + 1L).cast("int").as("w"),
+        (pmod(shiftright(bL, 14), lit(16384L)) + 1L).cast("int").as("h")))
+      .when(extended, struct(
+        (u8(24) + u8(25) * 256 + u8(26) * 65536 + 1).as("w"),
+        (u8(27) + u8(28) * 256 + u8(29) * 65536 + 1).as("h")))
+      .otherwise(noDims))
+    .otherwise(noDims)
   }
 
   /** One decoded audio row: real signal-level features from PCM samples.

@@ -186,7 +186,11 @@ object PipelineQueries {
     val li = lineitem(s, d).select(
       "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
     val key = s.sparkContext.applicationId + "|" + d
-    val path = graft.util.Memo.once(orcMemo, key) {
+    // revalidate the memoized layout (VERDICT r13 #1): a group cleanup or
+    // external tmp cleaner that deletes the dir mid-JVM must trigger a
+    // rebuild, never a PATH_NOT_FOUND at scan time
+    val path = graft.util.Memo.onceValid(orcMemo, key)(
+        p => graft.util.InputSize.exists(s, p)) {
       val dir = graft.util.TempLayouts.register(
         java.nio.file.Files.createTempDirectory("graft_orc_")).toString
       graft.ops.Extract.writeOrc(li, s"$dir/lineitem_orc")

@@ -121,12 +121,16 @@ object RelationalQueries {
     * instead of serving the stale snapshot; table names come from a
     * collision-free counter (a 32-bit hashCode collision would let the
     * second dataset's Overwrite clobber the first's live tables); the write
-    * jobs run OUTSIDE the memo's bin lock ([[graft.util.Memo.once]]); and
-    * the temp layout is registered with [[graft.util.TempLayouts]] for
-    * deletion at JVM exit. */
+    * jobs run OUTSIDE the memo's bin lock ([[graft.util.Memo.once]]); the
+    * temp layout is registered with [[graft.util.TempLayouts]] for
+    * deletion at JVM exit; and the memo value carries the layout dir so a
+    * mid-JVM deletion of it revalidates and re-buckets under fresh table
+    * names ([[graft.util.Memo.onceValid]], VERDICT r13 #1 — the stale
+    * catalog entries of the dead layout are simply never referenced
+    * again). */
   private val bucketedStarTables =
     new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.CompletableFuture[(String, String)]]()
+      String, java.util.concurrent.CompletableFuture[(String, String, String)]]()
   private val bucketedTag = new java.util.concurrent.atomic.AtomicInteger()
 
   def starJoinBucketed(s: SparkSession, d: String): DataFrame = {
@@ -139,7 +143,8 @@ object RelationalQueries {
       .withColumnRenamed("o_orderkey", "l_orderkey")
     val key = s.sparkContext.applicationId + "|" + d + "#" +
       (graft.util.DataFingerprint.of(li) * 31L + graft.util.DataFingerprint.of(o))
-    val (liTable, oTable) = graft.util.Memo.once(bucketedStarTables, key) {
+    val (liTable, oTable, _) = graft.util.Memo.onceValid(bucketedStarTables, key)(
+        v => graft.util.InputSize.exists(s, v._3)) {
       val tag = bucketedTag.getAndIncrement()
       val (liT, oT) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
       val dir = graft.util.TempLayouts.register(
@@ -148,7 +153,7 @@ object RelationalQueries {
         Some(s"$dir/li"))
       graft.ops.Bucketing.writeBucketed(o, oT, Seq("l_orderkey"), 32,
         Some(s"$dir/o"))
-      (liT, oT)
+      (liT, oT, dir.toString)
     }
     val c = customer(s, d).select("c_custkey", "c_nationkey")
     val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")

@@ -322,6 +322,19 @@ object SelectionQueries {
   def pplBucketsCapped(s: SparkSession, d: String): DataFrame =
     pplBucketsFrom(s, d, CorpusQueries.ngramLmScoresCapped(s, d))
 
+  /** [[pplBuckets]] over the STUPID-BACKOFF LM
+    * ([[CorpusQueries.ngramLmScoresBackoff]] — count-pruned bigrams with
+    * unigram backoff, Brants et al. 2007; VERDICT r13 #2): the decade-
+    * hashable rollup for the backoff path. The per-doc backoff scores are
+    * 5 M rows at the decade tier — over the output cap, so their direct
+    * evidence was rows-only; this ≤ |langs|·3-row tercile audit is the
+    * same machinery q_ppl_buckets_capped uses to stay DuckDB-green at
+    * 1000×. State story is the backoff LM's (model tables bounded by the
+    * capped vocabulary, pruning shrinks them further) plus the bucketing
+    * chain's bounded histogram broadcasts. */
+  def pplBucketsBackoff(s: SparkSession, d: String): DataFrame =
+    pplBucketsFrom(s, d, CorpusQueries.ngramLmScoresBackoff(s, d))
+
   private def pplBucketsFrom(s: SparkSession, d: String,
                              scores: DataFrame): DataFrame = {
     // snapshot the scored frame: the histogram and the ranking pass both
@@ -598,6 +611,7 @@ object SelectionQueries {
     "q_url_dedup"       -> (urlDedup _),
     "q_ppl_buckets"     -> (pplBuckets _),
     "q_ppl_buckets_capped" -> (pplBucketsCapped _),
+    "q_ppl_buckets_backoff" -> (pplBucketsBackoff _),
     "q_diversity_sample" -> (diversitySample _),
     "q_bm25"            -> (bm25 _),
     "q_quality_deciles" -> (qualityDeciles _),
@@ -772,6 +786,57 @@ object SelectionQueries {
        SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
               CAST(count(*) AS BIGINT) AS n_copies
        FROM c GROUP BY canon_url ORDER BY keep_doc_id""",
+    // backoff rollup: q_ngram_lm_backoff's score CTEs (count-pruned model,
+    // raw relative frequency, 0.4·cu/N unigram backoff) feeding the
+    // q_ppl_buckets_capped bucketing tail verbatim
+    "q_ppl_buckets_backoff" ->
+      """WITH wc AS (SELECT word, count(*) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     WHERE NOT regexp_matches(word, '[\x00-\x1f]')
+                     GROUP BY word),
+         vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 65536),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wf),
+         bir AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2 FROM p0),
+         bi AS (SELECT doc_id,
+                       coalesce(va.word, chr(1)) AS w1,
+                       coalesce(vb.word, chr(1)) AS w2
+                FROM bir LEFT JOIN vocab va ON bir.r1 = va.word
+                         LEFT JOIN vocab vb ON bir.r2 = vb.word),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         cu AS (SELECT w2, sum(c2) AS cu FROM c2 GROUP BY w2),
+         tot AS (SELECT sum(c1) AS n FROM c1),
+         m12 AS (SELECT w1, w2,
+                        CAST(round(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                             * 1000000) AS BIGINT) AS nll12
+                 FROM c2 JOIN c1 USING (w1) WHERE c2 >= 2),
+         m2 AS (SELECT w2,
+                       CAST(round(-ln(0.4 * CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+                            * 1000000) AS BIGINT) AS nll2
+                FROM cu, tot),
+         score AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                          (sum(coalesce(nll12, nll2)) // count(*)) // 1000 AS ppl_milli
+                   FROM bi LEFT JOIN m12 USING (w1, w2) JOIN m2 USING (w2)
+                   GROUP BY doc_id),
+         sl AS (SELECT s.doc_id, s.n_bigrams, s.ppl_milli, d.lang
+                FROM score s JOIN documents d USING (doc_id)),
+         r AS (SELECT lang, doc_id, ppl_milli, n_bigrams,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY ppl_milli, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n_lang
+               FROM sl),
+         b AS (SELECT lang, ppl_milli, n_bigrams,
+                      ((rk - 1) * 3) // n_lang AS bucket FROM r)
+       SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(ppl_milli) AS BIGINT) AS min_ppl_milli,
+              CAST(max(ppl_milli) AS BIGINT) AS max_ppl_milli,
+              CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+              CASE WHEN bucket = 0 THEN 'head'
+                   WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_name
+       FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
     // capped twin: vocab = top-65536 words (cnt desc, word asc — total
     // order), every other token maps to the chr(1) OOV bucket, smoothing
     // divides by |vocab|+1; the bucketing chain is q_ppl_buckets' verbatim

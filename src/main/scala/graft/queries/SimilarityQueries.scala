@@ -88,7 +88,9 @@ object SimilarityQueries {
     // bounded: one entry per (application, dataset dir, data fingerprint)
     val key = s.sparkContext.applicationId + "|" + d + "#" +
       graft.util.DataFingerprint.of(emb)
-    val dir = graft.util.Memo.once(assignedDirs, key) {
+    // revalidated (VERDICT r13 #1): a deleted layout rebuilds, never 404s
+    val dir = graft.util.Memo.onceValid(assignedDirs, key)(
+        p => graft.util.InputSize.exists(s, p)) {
       val path = graft.util.TempLayouts.register(
         java.nio.file.Files.createTempDirectory("graft_ivf_assigned_"))
       Similarity.assignCells(emb, centroids).write.mode("overwrite").parquet(path.toString)
@@ -122,7 +124,9 @@ object SimilarityQueries {
         Similarity.toDouble(col("embedding")).as("centroid"))
     val key = s.sparkContext.applicationId + "|" + d + "#" +
       graft.util.DataFingerprint.of(emb)
-    val dir = graft.util.Memo.once(annIndexDirs, key) {
+    // revalidated (VERDICT r13 #1): a deleted layout rebuilds, never 404s
+    val dir = graft.util.Memo.onceValid(annIndexDirs, key)(
+        p => graft.util.InputSize.exists(s, p)) {
       val path = graft.util.TempLayouts.register(
         java.nio.file.Files.createTempDirectory("graft_ann_index_"))
       Similarity.assignCells(emb, centroids)

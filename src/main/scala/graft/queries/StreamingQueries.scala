@@ -130,7 +130,11 @@ object StreamingQueries {
   private[queries] def joinStateProvider(s: SparkSession, d: String,
                                          sources: Seq[String]): Option[String] =
     manualProvider.getOrElse {
-      val rows = graft.util.InputSize.maxParquetRows(s, sources.map(t => s"$d/$t"))
+      // cap: any count at or past the bound routes identically, so the
+      // footer walk stops there instead of serially opening every footer
+      // of a huge directory (ADVICE r13 #3)
+      val rows = graft.util.InputSize.maxParquetRows(
+        s, sources.map(t => s"$d/$t"), cap = JoinStateMaxRows + 1)
       if (rows > JoinStateMaxRows) Some(RocksDbProvider) else None
     }
 

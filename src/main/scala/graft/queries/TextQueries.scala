@@ -232,7 +232,9 @@ object TextQueries {
     * quality signals, in one pass. The pair table is synthesized
     * deterministically from `documents` — most docs get a real PNG
     * signature + IHDR, every 13th doc a real JPEG header (SOI + full JFIF
-    * APP0 + SOF0), each carrying arithmetic-derived dimensions, and every
+    * APP0 + SOF0), every 19th/23rd/29th a real WebP container (lossy
+    * "VP8 " / lossless "VP8L" / extended "VP8X" — VERDICT r13 #6), each
+    * carrying arithmetic-derived dimensions, and every
     * 17th doc a non-image payload the format gate must DROP — and the
     * ENGINE side recovers the dims by parsing the payload bytes
     * ([[graft.operators.Multimodal.pngWidth]]/`pngHeight` for PNG;
@@ -269,6 +271,26 @@ object TextQueries {
       unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
       be16(hGenJpg), be16(wGen),
       unhex(lit("03012200021101031101")))
+    // WebP arms (VERDICT r13 #6) — real RIFF containers for all three
+    // variants, dims recovered by [[graft.operators.Multimodal.webpDims]]'
+    // fixed-offset arithmetic: lossy "VP8 " (frame tag + 9D012A sync +
+    // 14-bit LE dims), lossless "VP8L" (0x2F sig + (w-1)|(h-1)<<14 LE32),
+    // extended "VP8X" (LE24 canvas w-1/h-1)
+    val hGenWpV = (lit(64L) + pmod(col("doc_id") * 13L, lit(1984L))).cast("int")
+    val hGenWpL = (lit(64L) + pmod(col("doc_id") * 17L, lit(1984L))).cast("int")
+    val hGenWpX = (lit(64L) + pmod(col("doc_id") * 19L, lit(1984L))).cast("int")
+    def leBytes(c: Column, n: Int): Column =
+      unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+    val webpLossyPayload = concat(
+      unhex(lit("52494646160000005745425056503820" + "0A000000" + "D00100" + "9D012A")),
+      leBytes(wGen, 2), leBytes(hGenWpV, 2))
+    val webpLosslessPayload = concat(
+      unhex(lit("524946461100000057454250" + "5650384C" + "05000000" + "2F")),
+      leBytes(wGen - 1 + (hGenWpL - 1) * 16384, 4))
+    val webpXPayload = concat(
+      unhex(lit("52494646160000005745425056503858" + "0A000000" + "00000000")),
+      leBytes(wGen - 1, 3), leBytes(hGenWpX - 1, 3))
     // the non-image arm the format gate must DROP — includes a red-herring
     // SOI mid-payload so only a signature test at offset 0 passes
     val rawPayload = unhex(lit("DEADBEEF00FFD8"))
@@ -276,18 +298,23 @@ object TextQueries {
       col("doc_id"), col("lang"), col("text"),
       when(pmod(col("doc_id"), lit(17L)) === 0L, rawPayload)
         .when(pmod(col("doc_id"), lit(13L)) === 0L, jpgPayload)
+        .when(pmod(col("doc_id"), lit(19L)) === 0L, webpLossyPayload)
+        .when(pmod(col("doc_id"), lit(23L)) === 0L, webpLosslessPayload)
+        .when(pmod(col("doc_id"), lit(29L)) === 0L, webpXPayload)
         .otherwise(pngPayload).as("payload"))
     pairs
       .withColumn("jd", graft.operators.Multimodal.jpegDims(col("payload")))
+      .withColumn("wd", graft.operators.Multimodal.webpDims(col("payload")))
       .select(
         col("doc_id"), col("lang"),
         when(graft.operators.Multimodal.isPng(col("payload")), lit("png"))
           .when(col("jd").getField("w").isNotNull, lit("jpeg"))
+          .when(col("wd").getField("w").isNotNull, lit("webp"))
           .as("format"),
         coalesce(graft.operators.Multimodal.pngWidth(col("payload")),
-          col("jd").getField("w")).as("width"),
+          col("jd").getField("w"), col("wd").getField("w")).as("width"),
         coalesce(graft.operators.Multimodal.pngHeight(col("payload")),
-          col("jd").getField("h")).as("height"),
+          col("jd").getField("h"), col("wd").getField("h")).as("height"),
         wordCount(col("text")).as("n_words"),
         length(col("text")).as("n_chars"))
       .filter(col("format").isNotNull) // decodable-image gate (both arms)
@@ -624,7 +651,13 @@ object TextQueries {
 
   private def bpeMergeList(s: SparkSession, d: String,
                            iters: Int = 8, k: Int = 65536): Seq[(Long, String, Long)] =
-    graft.util.Memo.once(mergeMemo, s"$d|$iters|$k") {
+    // key scoped by applicationId + the corpus' leaf-file fingerprint
+    // (ADVICE r13 #2, matching orcMemo/bucketedStarTables): a long-lived
+    // JVM that rewrites documents.parquet under the same path re-fits
+    // instead of serving stale merges
+    graft.util.Memo.once(mergeMemo,
+      s.sparkContext.applicationId + s"|$d|$iters|$k#" +
+        graft.util.DataFingerprint.of(documents(s, d))) {
       bpeFitCount.incrementAndGet()
       var v = graft.util.Snapshots.snap(
         documents(s, d)
@@ -957,9 +990,15 @@ object TextQueries {
            SELECT doc_id, lang, text,
                   CASE WHEN doc_id % 17 = 0 THEN NULL
                        WHEN doc_id % 13 = 0 THEN 'jpeg'
+                       WHEN doc_id % 19 = 0 THEN 'webp'
+                       WHEN doc_id % 23 = 0 THEN 'webp'
+                       WHEN doc_id % 29 = 0 THEN 'webp'
                        ELSE 'png' END AS format,
                   CAST(64 + doc_id % 1984 AS INT) AS width,
                   CAST(CASE WHEN doc_id % 13 = 0 THEN 64 + (doc_id * 11) % 1984
+                            WHEN doc_id % 19 = 0 THEN 64 + (doc_id * 13) % 1984
+                            WHEN doc_id % 23 = 0 THEN 64 + (doc_id * 17) % 1984
+                            WHEN doc_id % 29 = 0 THEN 64 + (doc_id * 19) % 1984
                             ELSE 64 + (doc_id * 7) % 1984 END AS INT) AS height
            FROM documents)
          SELECT doc_id, lang, format, width, height,

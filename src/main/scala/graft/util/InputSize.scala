@@ -33,6 +33,43 @@ object InputSize {
       else Long.MaxValue
     } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
+  /** Total leaf-file bytes behind every FILE-BACKED leaf of `df`'s analyzed
+    * plan — the probe for size-routed gates that must see the layout the
+    * query ACTUALLY reads (VERDICT r13 what's-wrong #3: probing a
+    * hardcoded `$dir/table.parquet` reports `Long.MaxValue` on a
+    * directory-of-parts or ORC layout of the same data, silently
+    * model-switching a tiny input to the capped plan). The listing comes
+    * from the plan's own `FileIndex` — same traversal, coverage (V1 +
+    * DSv2) and freshness contract as [[DataFingerprint]]. Fail-safe like
+    * [[bytes]]: a plan with NO file-backed leaf (in-memory test frames) or
+    * a failing listing reports `Long.MaxValue` — "can't see it" routes to
+    * the bounded-state plan, never the in-memory one. */
+  def bytesOf(df: org.apache.spark.sql.DataFrame): Long =
+    try {
+      import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation}
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+      var total = 0L
+      var anyFileLeaf = false
+      def add(idx: FileIndex): Unit = {
+        anyFileLeaf = true
+        idx.listFiles(Nil, Nil).foreach(pd => pd.files.foreach(f => total += f.getLen))
+      }
+      df.queryExecution.analyzed.foreach {
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: HadoopFsRelation => add(fs.location)
+            case _                    => ()
+          }
+        case v2: DataSourceV2Relation =>
+          v2.table match {
+            case ft: FileTable => add(ft.fileIndex)
+            case _             => ()
+          }
+        case _ => ()
+      }
+      if (anyFileLeaf) total else Long.MaxValue
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
   /** Largest of several table paths — the right probe when one plan knob
     * governs a query reading multiple sources (ADVICE r11 #4: sizing off
     * one hard-coded table keeps the small-input plan when a sibling
@@ -49,8 +86,17 @@ object InputSize {
     * metadata read per file. Fail-safe like [[bytes]]: an unresolvable
     * path or unreadable footer reports `Long.MaxValue`, which must route
     * the caller to its LARGE-state plan — "can't see it" never means
-    * "small". */
-  def parquetRows(spark: SparkSession, path: String): Long =
+    * "small".
+    *
+    * `cap`: stop opening footers once the running total reaches it
+    * (ADVICE r13 #3) — every row-routed gate compares the result against
+    * one threshold, and any value at or past the threshold routes
+    * identically, so on a genuinely large directory (the 100 TB framing:
+    * millions of files) the probe reads a handful of footers instead of
+    * serially walking all of them. The returned value is then a LOWER
+    * bound ≥ cap, not the exact count — callers must only threshold it. */
+  def parquetRows(spark: SparkSession, path: String,
+                  cap: Long = Long.MaxValue): Long =
     try {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
@@ -60,7 +106,7 @@ object InputSize {
         val it = fs.listFiles(p, true)
         var total = 0L
         var any = false
-        while (it.hasNext) {
+        while (it.hasNext && total < cap) {
           val f = it.next()
           if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
             any = true
@@ -82,8 +128,21 @@ object InputSize {
 
   /** Largest row count across several source paths — [[maxBytes]]' twin
     * for row-shaped state sizing. */
-  def maxParquetRows(spark: SparkSession, paths: Seq[String]): Long =
-    paths.map(parquetRows(spark, _)).max
+  def maxParquetRows(spark: SparkSession, paths: Seq[String],
+                     cap: Long = Long.MaxValue): Long =
+    paths.map(parquetRows(spark, _, cap)).max
+
+  /** Existence probe through the same FileSystem resolution — the
+    * revalidation predicate for every memo-of-layout site
+    * ([[Memo.onceValid]]): a memoized derived layout whose dir has been
+    * deleted mid-JVM must be rebuilt, not served. Fail-safe is FALSE —
+    * "can't see it" means rebuild (one redundant write job), never "trust
+    * the dead path" (PATH_NOT_FOUND at scan time). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Directory test through the same FileSystem resolution (single-file
     * vs directory parquet layouts need different source globs for the

