@@ -649,6 +649,120 @@ object TextQueries {
     * not memo hits. */
   private[graft] val bpeFitCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Pass counter for the BATCHED fitter's spec — counts distributed
+    * count-select-rewrite passes, the quantity batching exists to shrink. */
+  private[graft] val bpeBatchPassCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The capped (word, word_cnt) vocabulary both fitters start from. */
+  private def bpeVocab(s: SparkSession, d: String, k: Int): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("word_cnt"))
+      .orderBy(col("word_cnt").desc, col("w")).limit(k)
+
+  /** The EXACT sequential merge loop over a (w, word_cnt) vocabulary frame
+    * — one argmax collect + one rewrite per merge (Sennrich's reference
+    * semantics; the declared q_bpe_train/q_bpe_tokenize contract and what
+    * their DuckDB oracles mirror). `sentinelOf` renders merge j's symbol;
+    * the default chr(j) matches the oracle convention and is safe for the
+    * declared iters=8 (control bytes, absent from the corpus) — fits past
+    * ~31 merges must pass a private-use-area sentinel instead (chr(32) is
+    * the SPACE the corpus splits on, and printable bytes collide with
+    * real text). */
+  private[graft] def bpeFitWords(words0: DataFrame, iters: Int,
+      sentinelOf: Int => String = j => j.toChar.toString): Seq[(Long, String, Long)] = {
+    var v = graft.util.Snapshots.snap(words0)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var it = 1
+    var dry = false
+    while (it <= iters && !dry) {
+      val top = v
+        .select(explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"),
+          col("word_cnt"))
+        .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect().headOption
+      top match {
+        case None => dry = true // vocabulary exhausted: stop with what we have
+        case Some(row) =>
+          val pair = row.getString(0)
+          merges += ((it.toLong, pair, row.getLong(1)))
+          v = graft.util.Snapshots.snap(
+            v.select(replace(col("w"), lit(pair), lit(sentinelOf(it))).as("w"),
+                col("word_cnt"))
+              .filter(length(col("w")) >= 2))
+          it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BATCHED merge selection — the scale path past the exact fitter's
+    * one-driver-round-trip-per-merge bound (VERDICT r13 #3: a production
+    * 32k-merge vocabulary is 32k Spark jobs under the exact loop). Each
+    * pass counts pairs ONCE, collects the top-`batch` candidates, and
+    * greedily accepts them in rank order subject to SYMBOL DISJOINTNESS:
+    * a candidate sharing any symbol with an already-accepted pair of this
+    * pass is deferred to the next pass. Disjointness makes the batch
+    * sound, not just fast — merging "ab"→X can neither destroy nor create
+    * occurrences of a pair over OTHER symbols (destruction needs a shared
+    * symbol; creation would need the replace to make two old symbols
+    * adjacent, and it substitutes one new symbol instead), so every
+    * accepted pair's count is exactly its pass-start count and the
+    * accepted merges commute. The sequence can still differ from the
+    * exact fitter's (which re-counts after every merge and may promote a
+    * pair involving a just-created symbol — the standard, documented
+    * approximation of batched BPE); with `batch = 1` the loop IS the
+    * exact fitter, argmax for argmax. All accepted rewrites of a pass
+    * apply in ONE distributed job (a replace chain), so driver round
+    * trips shrink from `iters` to `iters / E[accepted per pass]`. */
+  private[graft] def bpeFitWordsBatched(words0: DataFrame, iters: Int, batch: Int,
+      sentinelOf: Int => String = j => j.toChar.toString): Seq[(Long, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var v = graft.util.Snapshots.snap(words0)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var it = 1
+    var dry = false
+    while (it <= iters && !dry) {
+      bpeBatchPassCount.incrementAndGet()
+      val m = math.min(batch, iters - it + 1)
+      val top = v
+        .select(explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"),
+          col("word_cnt"))
+        .groupBy("pair").agg(sum("word_cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(m).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val used = scala.collection.mutable.Set[Char]()
+        var rewritten: org.apache.spark.sql.Column = col("w")
+        top.foreach { row =>
+          val pair = row.getString(0)
+          if (!pair.exists(used.contains)) {
+            used ++= pair
+            merges += ((it.toLong, pair, row.getLong(1)))
+            rewritten = replace(rewritten, lit(pair), lit(sentinelOf(it)))
+            it += 1
+          }
+        }
+        v = graft.util.Snapshots.snap(
+          v.select(rewritten.as("w"), col("word_cnt"))
+            .filter(length(col("w")) >= 2))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Private-use-area sentinel for deep fits (merge ids past the control
+    * range): U+E000 + j can never collide with corpus text or the space
+    * delimiter. */
+  private[graft] def puaSentinel(j: Int): String = (0xE000 + j).toChar.toString
+
   private def bpeMergeList(s: SparkSession, d: String,
                            iters: Int = 8, k: Int = 65536): Seq[(Long, String, Long)] =
     // key scoped by applicationId + the corpus' leaf-file fingerprint
@@ -659,38 +773,7 @@ object TextQueries {
       s.sparkContext.applicationId + s"|$d|$iters|$k#" +
         graft.util.DataFingerprint.of(documents(s, d))) {
       bpeFitCount.incrementAndGet()
-      var v = graft.util.Snapshots.snap(
-        documents(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) >= 2)
-          .groupBy("w").agg(count(lit(1)).as("word_cnt"))
-          .orderBy(col("word_cnt").desc, col("w")).limit(k))
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
-      var it = 1
-      var dry = false
-      while (it <= iters && !dry) {
-        val top = v
-          .select(explode(transform(
-              sequence(lit(1), length(col("w")) - 1),
-              i => col("w").substr(i, lit(2)))).as("pair"),
-            col("word_cnt"))
-          .groupBy("pair").agg(sum("word_cnt").as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1).collect().headOption
-        top match {
-          case None => dry = true // vocabulary exhausted: stop with what we have
-          case Some(row) =>
-            val pair = row.getString(0)
-            merges += ((it.toLong, pair, row.getLong(1)))
-            val sentinel = it.toChar.toString // chr(1)..chr(8), absent from text
-            v = graft.util.Snapshots.snap(
-              v.select(replace(col("w"), lit(pair), lit(sentinel)).as("w"),
-                  col("word_cnt"))
-                .filter(length(col("w")) >= 2))
-            it += 1
-        }
-      }
-      merges.toSeq
+      bpeFitWords(bpeVocab(s, d, k), iters)
     }
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {

@@ -49,4 +49,56 @@ class BpeSpec extends AnyFunSuite {
       s"expected an early stop, got ${merges.length} merges")
     assert(merges.head.getString(1) == "ab")
   }
+
+  test("batched fit with batch=1 IS the exact fitter, argmax for argmax") {
+    import spark.implicits._
+    val words = Seq(("thee", 10L), ("heed", 7L), ("deed", 5L), ("abab", 4L))
+      .toDF("w", "word_cnt")
+    val exact = TextQueries.bpeFitWords(words, iters = 8)
+    val batched = TextQueries.bpeFitWordsBatched(words, iters = 8, batch = 1)
+    assert(batched == exact, s"batch=1 diverged:\n$batched\nvs\n$exact")
+    assert(exact.nonEmpty)
+  }
+
+  test("a batch pass accepts only symbol-disjoint pairs and defers the rest") {
+    import spark.implicits._
+    // pair counts: "ab"=10, "cd"=8, "ce"=5 — "ce" shares 'c' with the
+    // higher-ranked "cd", so pass 1 must accept {ab, cd} and leave "ce"
+    // for pass 2; the merge SEQUENCE equals the exact fitter's (each
+    // accepted count is provably the pass-start count)
+    val words = Seq(("ab", 10L), ("cd", 8L), ("ce", 5L)).toDF("w", "word_cnt")
+    val before = TextQueries.bpeBatchPassCount.get()
+    val batched = TextQueries.bpeFitWordsBatched(words, iters = 3, batch = 3)
+    val passes = TextQueries.bpeBatchPassCount.get() - before
+    assert(batched.map(m => (m._1, m._2, m._3)) ==
+      Seq((1L, "ab", 10L), (2L, "cd", 8L), (3L, "ce", 5L)))
+    assert(passes == 2L, s"expected 2 passes (ab+cd, then ce), got $passes")
+    assert(batched == TextQueries.bpeFitWords(words, iters = 3),
+      "disjoint-batched sequence diverged from the exact fitter on a " +
+        "corpus where every accepted count is the pass-start count")
+  }
+
+  test("deep fits use PUA sentinels that cannot collide with text or space") {
+    import spark.implicits._
+    // 40 distinct dominant pairs — a fit past merge 31 with chr(j)
+    // sentinels would emit chr(32) (the SPACE the corpus splits on) and
+    // then printable bytes that collide with real text; the PUA sentinel
+    // keeps every merge id unambiguous
+    val words = (0 until 40).map { i =>
+      // 80 distinct symbols → every pair is disjoint from every other, so
+      // each pass accepts its full batch and the merge order is the
+      // global count order
+      val c1 = (0x100 + 2 * i).toChar
+      val c2 = (0x100 + 2 * i + 1).toChar
+      (s"$c1$c2", (1000 - i).toLong)
+    }.toDF("w", "word_cnt")
+    val merges = TextQueries.bpeFitWordsBatched(words, iters = 40, batch = 16,
+      sentinelOf = TextQueries.puaSentinel)
+    assert(merges.length == 40, s"expected 40 merges, got ${merges.length}")
+    // counts are strictly the constructed ones — no sentinel collision
+    // ever inflated a later pair's count
+    assert(merges.map(_._3) == (0 until 40).map(i => (1000 - i).toLong),
+      "a sentinel collision perturbed the merge counts")
+    assert(merges.map(_._2).distinct.length == 40)
+  }
 }
