@@ -817,7 +817,58 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** C4-style EXACT LINE DEDUPLICATION across the corpus (Raffel et al.
+    * 2020 §2.2 deduplicate any three-sentence span that occurs more than
+    * once; RefinedWeb/Falcon run the same rule at line granularity): the
+    * corpus-wide pass that keeps only the FIRST occurrence of every
+    * repeated line and reports, per document, how much text survives.
+    * The synthetic corpus has no newlines or sentence punctuation, so the
+    * "line" here is the aligned 8-word chunk — the operator is agnostic
+    * to the splitter, the DAG is what matters:
+    *
+    *   explode docs into (doc_id, pos, line)        — map-only
+    *   row_number over (PARTITION BY line            — shuffle 1, by line
+    *                    ORDER BY doc_id, pos) = 1 → keeper
+    *   per-doc rollup: n_lines / n_kept / kept_chars — shuffle 2, by doc
+    *   + md5 of the kept text (pos-ordered)          — the value witness
+    *
+    * 100 TB shape: both shuffles are linear in corpus tokens; the line
+    * partition key is high-cardinality (no skew beyond natural line
+    * repetition, and a pathologically hot line concentrates only ITS
+    * copies — the keeper scan is then a per-partition top-1, not a sort
+    * of the corpus). The per-doc collect_list is bounded by document
+    * length. First occurrence is defined by (doc_id, pos) — a total
+    * order, so the result is deterministic under any partitioning; the
+    * DuckDB oracle mirrors it with the identical window. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy("doc_id", "pos")
+    val chunks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("ws")) / 8.0).cast("int") - 1),
+        i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+      .withColumnRenamed("col", "line")
+    chunks
+      .withColumn("rk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("rk") === 1, length(col("line")))), lit(0L))
+          .as("kept_chars"),
+        // kept text reassembled in position order; md5 is the
+        // cross-engine witness that the SAME text survived
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("rk") === 1,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), " ").cast("binary")).as("kept_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_chars"),
+        when(col("n_kept") > 0, col("kept_md5")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup"        -> (lineDedup _),
     "q_bpe_train"         -> (bpeTrain _),
     "q_bpe_tokenize"      -> (bpeTokenize _),
     "q_curation_v2"       -> (curationV2 _),
@@ -906,6 +957,25 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // C4 line dedup: aligned 8-word chunks, first occurrence by
+    // (doc_id, pos) survives; md5 of the pos-ordered kept text is the
+    // value witness that BOTH engines kept the same lines
+    "q_line_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         ch AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line
+                FROM ws, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)),
+         r AS (SELECT doc_id, pos, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, pos) AS rk
+               FROM ch)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(coalesce(sum(CASE WHEN rk = 1 THEN length(line) END), 0) AS BIGINT) AS kept_chars,
+              CASE WHEN sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 0
+                   THEN md5(string_agg(CASE WHEN rk = 1 THEN line END, ' ' ORDER BY pos))
+                   END AS kept_md5
+       FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
     // the composed DAG: the q_html_extract strip chain, the

@@ -88,28 +88,43 @@ class QueriesSpec extends AnyFunSuite {
     val rows = TextQueries.pairCuration(spark, sf)
       .select("doc_id", "format", "width", "height").collect()
     assert(rows.nonEmpty)
-    var sawJpeg = false
-    rows.foreach { r =>
-      val (id, fmt, w, h) =
-        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))
-      assert(id % 17 != 0, s"doc $id has the non-image payload — the format gate must drop it")
-      // the engine PARSED these out of the payload bytes (PNG IHDR reads /
-      // JPEG marker walk); they must equal the generation rule, or the
-      // header synth/parse disagrees
-      if (id % 13 == 0) {
-        sawJpeg = true
-        assert(fmt == "jpeg", s"doc $id should be the JPEG arm, got $fmt")
-        assert(w == 64 + (id % 1984), s"doc $id JPEG width parse mismatch: $w")
-        assert(h == 64 + (id * 11 % 1984), s"doc $id JPEG height parse mismatch: $h")
-      } else {
-        assert(fmt == "png", s"doc $id should be the PNG arm, got $fmt")
-        assert(w == 64 + (id % 1984), s"doc $id width parse mismatch: $w")
-        assert(h == 64 + (id * 7 % 1984), s"doc $id height parse mismatch: $h")
-      }
-      assert(w >= 128 && h >= 128 && w * 3 >= h && h * 3 >= w,
-        s"doc $id violates the dim/aspect gates: ${w}x$h")
-    }
-    assert(sawJpeg, "no JPEG pair survived — the JPEG arm is not being measured")
+    // the engine PARSED format/width/height out of the payload bytes (PNG
+    // IHDR reads / JPEG marker walk / WebP fixed-offset reads); the
+    // SURVIVOR SET must equal the generation rule + curation gates
+    // recomputed independently here, or the header synth/parse disagrees.
+    // (At sf0.001 no WebP doc clears the min-dim gate — the set compare
+    // handles any tier honestly; WebP survival is exercised at sf0.01+ by
+    // the oracle hash and per-shape in MultimodalSpec.)
+    val expected = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect().flatMap { r =>
+        val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val fmtH: Option[(String, Long)] =
+          if (id % 17 == 0) None
+          else if (id % 13 == 0) Some(("jpeg", 11L))
+          else if (id % 19 == 0) Some(("webp", 13L))
+          else if (id % 23 == 0) Some(("webp", 17L))
+          else if (id % 29 == 0) Some(("webp", 19L))
+          else Some(("png", 7L))
+        fmtH.flatMap { case (fmt, mult) =>
+          val w = 64 + (id % 1984)
+          val h = 64 + (id * mult % 1984)
+          val nWords = text.split(" ").length
+          val ok = w >= 128 && h >= 128 && w * 3 >= h && h * 3 >= w &&
+            text.length >= 20 && nWords >= 5 &&
+            Set("en", "es", "fr", "de").contains(lang)
+          if (ok) Some(id -> ((fmt, w.toInt, h.toInt))) else None
+        }
+      }.toMap
+    val got = rows.map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got == expected,
+      s"survivors diverge from the generation rule: " +
+        s"extra=${(got.keySet -- expected.keySet).toSeq.sorted.take(5)} " +
+        s"missing=${(expected.keySet -- got.keySet).toSeq.sorted.take(5)} " +
+        s"diff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) =>
+          (k, v, expected(k)) }.take(5)}")
+    assert(got.values.exists(_._1 == "jpeg"),
+      "no JPEG pair survived — the JPEG arm is not being measured")
   }
 
   test("salted aggregation is value-identical to the unsalted groupBy") {
