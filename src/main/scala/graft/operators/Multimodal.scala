@@ -626,4 +626,93 @@ object Multimodal {
       col("media_id"), col("mime"),
       octet_length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  // -------------------------------------------------------------------
+  // Perceptual hashing (dHash) — the image near-dup primitive
+  // -------------------------------------------------------------------
+
+  /** dHash grid geometry: 9 columns × 8 rows of luma samples → 64
+    * left-vs-right comparisons (Krawetz's difference hash — the standard
+    * perceptual near-dup fingerprint in web-image curation). At real
+    * scale the 9×8 grid is the output of the resize step; here the
+    * synthesized BMP IS 9×8, so pixel = grid cell and the whole hash is
+    * pure header-offset arithmetic both engines can express. */
+  val DhashCols = 9
+  val DhashRows = 8
+
+  private val bmpRowStride = DhashCols * 3 + ((4 - (DhashCols * 3) % 4) % 4) // 27 + 1 pad
+  private val bmpDataOffset = 54
+
+  /** 54-byte BITMAPINFOHEADER for a 9×8 bottom-up BI_RGB 24-bpp BMP —
+    * a REAL BMP (ImageIO decodes it; MultimodalSpec pins the round trip),
+    * not a look-alike. */
+  private val bmpHeaderHex: String = {
+    val fileSize = bmpDataOffset + DhashRows * bmpRowStride // 278
+    def le32(v: Int) = (0 until 4).map(i => f"${(v >> (8 * i)) & 0xff}%02X").mkString
+    def le16(v: Int) = (0 until 2).map(i => f"${(v >> (8 * i)) & 0xff}%02X").mkString
+    "424D" + le32(fileSize) + le32(0) + le32(bmpDataOffset) +
+      le32(40) + le32(DhashCols) + le32(DhashRows) + le16(1) + le16(24) +
+      le32(0) + le32(DhashRows * bmpRowStride) + le32(0) + le32(0) + le32(0) + le32(0)
+  }
+
+  /** Synthesize the 9×8 grayscale BMP whose luma at image coordinate
+    * (x, y) — y DOWN from the top, the raster convention — is `pix(x, y)`
+    * (values must stay in 0..255). One pixel is one expression:
+    * v·0x010101 hex-expands to the three equal BGR bytes, so the whole
+    * 278-byte payload is ~73 concat terms, comfortably codegen'd. Rows
+    * are emitted bottom-up with the row pad byte, per the BMP spec. */
+  def syntheticBmp(pix: (Int, Int) => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rows = (0 until DhashRows).map { yb =>
+      val y = DhashRows - 1 - yb // bottom-up storage
+      val pixels = (0 until DhashCols).map(x =>
+        unhex(lpad(hex(pix(x, y).cast("long") * 65793L), 6, "0")))
+      val pad = Seq.fill(bmpRowStride - DhashCols * 3)(unhex(lit("00")))
+      concat(pixels ++ pad: _*)
+    }
+    concat(unhex(lit(bmpHeaderHex)) +: rows: _*)
+  }
+
+  /** Luma sample at image coordinate (x, y) straight from the BMP bytes:
+    * offset = dataOffset + (rows−1−y)·stride + x·3 (blue byte; the
+    * synthesized pixels are gray so any channel serves). */
+  private def bmpLuma(payload: org.apache.spark.sql.Column, x: Int, y: Int) =
+    conv(hex(call_function("substr", payload,
+      lit(bmpDataOffset + (DhashRows - 1 - y) * bmpRowStride + x * 3 + 1), lit(1))),
+      16, 10).cast("int")
+
+  /** 64-bit dHash of a 9×8-pixel BMP payload as a 16-char lower-hex
+    * string: bit (y·8 + x) is `luma(x,y) > luma(x+1,y)`; nibble k packs
+    * bits 4k..4k+3 (bit j of the nibble = global bit 4k+j) and lands at
+    * string position k. A hex STRING (not a BIGINT) so the band
+    * substrings and the oracle twin never touch 64-bit sign/overflow
+    * semantics — bit 63 set would make the integer form negative, and
+    * DuckDB raises on signed overflow where Spark wraps. */
+  def dhashHex(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nibbles = (0 until 16).map { k =>
+      val v = (0 until 4).map { j =>
+        val idx = 4 * k + j
+        val y = idx / 8; val x = idx % 8
+        when(bmpLuma(payload, x, y) > bmpLuma(payload, x + 1, y), lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      call_function("substr", lit("0123456789abcdef"), v + 1, lit(1))
+    }
+    concat(nibbles: _*)
+  }
+
+  /** JVM-side dHash of a decoded image (same bit/nibble layout as
+    * [[dhashHex]]) — what the spec uses to pin the column expression
+    * against a REAL `javax.imageio` decode of the synthesized BMP. */
+  def dhashHexOfImage(img: java.awt.image.BufferedImage): String = {
+    require(img.getWidth == DhashCols && img.getHeight == DhashRows,
+      s"dhash expects a ${DhashCols}x$DhashRows grid, got ${img.getWidth}x${img.getHeight}")
+    def luma(x: Int, y: Int) = img.getRGB(x, y) & 0xff // gray: blue channel
+    (0 until 16).map { k =>
+      val v = (0 until 4).map { j =>
+        val idx = 4 * k + j
+        if (luma(idx % 8, idx / 8) > luma(idx % 8 + 1, idx / 8)) 1 << j else 0
+      }.sum
+      "0123456789abcdef".charAt(v)
+    }.mkString
+  }
 }

@@ -411,6 +411,85 @@ object SimilarityQueries {
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Per-document banded-LSH dedup VERDICT — the survivor/dup
+    * classification a corpus-scale MinHash dedup actually emits (Broder
+    * 1997 banding; the pair/cluster surfaces are [[jaccardTopPairs]] /
+    * `q_dedup_clusters`): the 8 engine-portable arithmetic min-hashes
+    * ([[Dedup.arithMinhashColumns]] — the `q_minhash_arith` family, so the
+    * oracle can recompute them) grouped into 4 bands of 2; a document is a
+    * near-dup candidate iff some band's (h1, h2) pair already belongs to a
+    * SMALLER doc_id — first occurrence survives, the standard banded-LSH
+    * candidate rule with a deterministic total order.
+    *
+    * Plan: signature + band explode are map-side (one compiled pass per
+    * doc, 4 output rows); the per-band first-occurrence is a window min
+    * over the band-key shuffle; the per-doc rollup re-aggregates on
+    * doc_id. Two exchanges total, both on bounded-width rows (ids + two
+    * longs) — never the text. At 100 TB the band-key shuffle is the
+    * canonical LSH-dedup shuffle (rows = 4×docs, payload ~3 longs); skew
+    * concentrates only where a band bucket is a true duplicate cluster. */
+  def bandDedup(s: SparkSession, d: String): DataFrame = {
+    val sigs = documents(s, d)
+      .select(col("doc_id") +: Dedup.arithMinhashColumns(col("text")): _*)
+    val bands = sigs.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(b =>
+        struct(col(s"sig_${2 * b}").as("h1"), col(s"sig_${2 * b + 1}").as("h2"))): _*
+    )).as(Seq("band", "bk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk.h1"), col("bk.h2"))
+    bands
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .groupBy("doc_id")
+      .agg(sum(when(col("first_id") < col("doc_id"), 1).otherwise(0))
+        .cast("long").as("n_dup_bands"))
+      .withColumn("is_neardup", (col("n_dup_bands") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle for [[bandDedup]] and its streaming twin
+    * (`StreamingQueries.streamNearDedup` — same verdict semantics, so the
+    * SAME SQL, the q_stream_delta precedent): the q_minhash_arith CTE
+    * recomputes the signatures, a window-min marks each band bucket's
+    * first doc, the rollup counts dup bands per doc. */
+  private[queries] val bandDedupOracleSql: String =
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                     ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                            i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) END) AS shingles
+         FROM documents),
+         hs AS (
+           SELECT doc_id,
+                  list_transform(shingles,
+                    s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+                                     (h, c) -> (h * 31 + c) % 2147483647)) AS hashes
+           FROM sh),
+         sigs AS (
+           SELECT doc_id,
+                  list_min(list_transform(hashes, h -> (h * 1299721 + 7) % 2147483647)) AS sig_0,
+                  list_min(list_transform(hashes, h -> (h * 15485863 + 11) % 2147483647)) AS sig_1,
+                  list_min(list_transform(hashes, h -> (h * 32452843 + 13) % 2147483647)) AS sig_2,
+                  list_min(list_transform(hashes, h -> (h * 49979687 + 17) % 2147483647)) AS sig_3,
+                  list_min(list_transform(hashes, h -> (h * 67867967 + 19) % 2147483647)) AS sig_4,
+                  list_min(list_transform(hashes, h -> (h * 86028121 + 23) % 2147483647)) AS sig_5,
+                  list_min(list_transform(hashes, h -> (h * 104395301 + 29) % 2147483647)) AS sig_6,
+                  list_min(list_transform(hashes, h -> (h * 122949823 + 31) % 2147483647)) AS sig_7
+           FROM hs),
+         bands AS (
+           SELECT doc_id, b AS band,
+                  CASE b WHEN 0 THEN sig_0 WHEN 1 THEN sig_2 WHEN 2 THEN sig_4 ELSE sig_6 END AS h1,
+                  CASE b WHEN 0 THEN sig_1 WHEN 1 THEN sig_3 WHEN 2 THEN sig_5 ELSE sig_7 END AS h2
+           FROM sigs, range(0, 4) t(b)),
+         marked AS (
+           SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY band, h1, h2) AS first_id
+           FROM bands)
+       SELECT doc_id,
+              CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bands,
+              CAST(CASE WHEN sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) > 0
+                   THEN 1 ELSE 0 END AS INTEGER) AS is_neardup
+       FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
   /** Engine-portable 32-bit SimHash — fully oracle-checked (the oracle SQL
     * is generated per bit below). */
   def simhashArith(s: SparkSession, d: String): DataFrame =
@@ -870,6 +949,7 @@ object SimilarityQueries {
     "q_embed_truncate"  -> (embedTruncate _),
     "q_jaccard_pairs"   -> (jaccardTopPairs _),
     "q_minhash_arith"   -> (minhashArith _),
+    "q_band_dedup"      -> (bandDedup _),
     "q_simhash_arith"   -> (simhashArith _),
     "q_vector_mean"     -> (vectorMeanByLabel _),
     "q_quantize_int8"   -> (quantizeInt8 _),
@@ -1320,6 +1400,7 @@ object SimilarityQueries {
                 list_min(list_transform(hashes, h -> (h * 104395301 + 29) % 2147483647)) AS sig_6,
                 list_min(list_transform(hashes, h -> (h * 122949823 + 31) % 2147483647)) AS sig_7
          FROM hs ORDER BY doc_id""",
+    "q_band_dedup" -> bandDedupOracleSql,
     "q_vector_mean" ->
       """SELECT label, i AS dim,
                 CAST(CAST(round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS mean_val

@@ -472,8 +472,73 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** STREAMING banded-LSH near-dup dedup — the ingestion-time shape of
+    * [[SimilarityQueries.bandDedup]] (same verdict, SAME ORACLE — the
+    * q_stream_delta precedent): documents arrive as a stream, each doc's 8
+    * arithmetic min-hashes fold map-side into 4 band keys, and a
+    * `flatMapGroupsWithState` keyed on the band key holds ONE Long of
+    * state per distinct band bucket — the smallest doc_id ever seen there.
+    * A doc is a dup in a band iff the bucket's remembered min is smaller;
+    * the post-sink batch rollup ORs the four band verdicts per doc.
+    *
+    * Why custom state and not `dropDuplicates`: the engine dedup keeps
+    * whole KEYS and drops later rows — this entry must EMIT every row with
+    * a verdict (curation pipelines audit what they drop) and needs the
+    * min-id tie-break, a user-authored state transition.
+    *
+    * Determinism: batch rows are processed in ascending doc_id inside each
+    * bucket (explicit sort of the group iterator — arrival order within a
+    * micro-batch is partition-race nondeterministic), and the state
+    * monotone min makes the verdict a pure function of the input SET
+    * under the single-batch AvailableNow pin ([[runAvailableNow]]'s
+    * assertion; a production multi-batch deployment gets first-ARRIVAL
+    * semantics instead, the usual ingestion contract). Group sort is
+    * bucket-sized — a true duplicate cluster, not the corpus.
+    *
+    * 100 TB: state is one Long per distinct band key (≤4×docs, bytes not
+    * text); the sources-sized provider flip applies (documents past the
+    * trigger → RocksDB), and a real deployment would add state TTL via a
+    * watermark timeout once the dedup horizon is bounded. */
+  def streamNearDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    if (schemaMemo.size() > 64) schemaMemo.clear()
+    val rawSchema = schemaMemo.computeIfAbsent(s"$d/documents.parquet",
+      p => s.read.parquet(p).schema)
+    val srcPath =
+      if (graft.util.InputSize.isDirectory(s, s"$d/documents.parquet")) s"$d/documents.parquet"
+      else s"$d/documents.parque[t]"
+    val sigs = s.readStream.schema(rawSchema).parquet(srcPath)
+      .select(col("doc_id") +: graft.operators.Dedup.arithMinhashColumns(col("text")): _*)
+    val bands = sigs.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b =>
+          concat_ws(":", lit(b), col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*
+      )).as(Seq("band", "bkey")))
+      .as[(Long, Int, String)]
+    val verdicts = bands.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, Int, String)], st: GroupState[Long]) => {
+          val sorted = rows.toArray.sortBy(_._1)
+          var minSeen = st.getOption.getOrElse(Long.MaxValue)
+          val out = sorted.iterator.map { case (id, band, _) =>
+            val dup = if (minSeen < id) 1 else 0
+            if (id < minSeen) minSeen = id
+            (id, band, dup)
+          }.toVector
+          st.update(minSeen)
+          out.iterator
+        })
+      .toDF("doc_id", "band", "dup")
+    runAvailableNow(verdicts, s, d, sources = Seq("documents.parquet"))
+      .groupBy("doc_id")
+      .agg(sum(col("dup")).cast("long").as("n_dup_bands"))
+      .withColumn("is_neardup", (col("n_dup_bands") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_delta" -> (streamDeltaDedup _),
+    "q_stream_neardup" -> (streamNearDedup _),
     "q_stream_hourly" -> (streamHourlyCounts _),
     "q_stream_sliding" -> (streamSlidingCounts _),
     "q_stream_enrich" -> (streamStaticEnrich _),
@@ -487,6 +552,9 @@ object StreamingQueries {
     // streaming ingest twin: per-doc classification independent of the
     // micro-batch split, so the batch oracle applies verbatim
     "q_stream_delta" -> CorpusQueries.oracle("q_delta_dedup"),
+    // streaming near-dup twin: the verdict is a pure function of the input
+    // set (min-doc_id band rule), so the batch oracle applies verbatim
+    "q_stream_neardup" -> SimilarityQueries.bandDedupOracleSql,
     // emit rule: window end (start + 1 h) ≤ max(ts) − 10 min — the final
     // watermark under AvailableNow; GROUP BY carries mx (constant) so the
     // HAVING can reference it

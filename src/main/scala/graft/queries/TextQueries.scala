@@ -326,6 +326,89 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Image near-dup dedup by PERCEPTUAL hash (Krawetz dHash — the standard
+    * fingerprint LAION-class pipelines dedup web images with): each doc
+    * carries a REAL 9×8 grayscale BMP payload (bottom-up BI_RGB 24-bpp —
+    * `javax.imageio` decodes it, and MultimodalSpec pins the column
+    * expression's hash against a real decode), the 64-bit dHash is
+    * extracted from the PAYLOAD BYTES by header-offset arithmetic
+    * ([[graft.operators.Multimodal.dhashHex]]), and near-dup candidates
+    * come from the banded-Hamming rule: 4 bands of 16 bits, a doc is a
+    * candidate iff some band equals a smaller doc_id's (the
+    * [[SimilarityQueries.bandDedup]] rule over perceptual bits).
+    *
+    * Synthesis plants the near-dups the gate must catch: every doc with
+    * `doc_id % 5 = 4` repeats doc `doc_id−1`'s image at +2 brightness —
+    * a DIFFERENT payload (different bytes, different md5) whose dHash is
+    * IDENTICAL, because dHash compares neighboring lumas and a global
+    * brightness shift preserves every comparison (the invariance that
+    * makes dHash the right primitive; values stay ≤ 251 so no clamp).
+    *
+    * The oracle never parses the BMP: it recomputes the pixel arithmetic
+    * directly (the payload round trip is pinned engine-side by
+    * MultimodalSpec's ImageIO decode). Plan: synthesis + hash are one
+    * map-only pass (~73 concat terms, 128 byte probes — constant-width
+    * codegen); the band shuffle carries (doc_id, 16-char hash, 4-char
+    * key) rows only. */
+  def imageDhash(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    val mirror = pmod(col("doc_id"), lit(5L)) === 4L
+    val base = when(mirror, col("doc_id") - 1L).otherwise(col("doc_id"))
+    val bright = when(mirror, lit(2)).otherwise(lit(0))
+    def pix(x: Int, y: Int) =
+      (pmod(base * 37L + lit(x * 11 + y * 23)
+          + pmod(base * lit((x + 3) * (y + 7)), lit(97L)),
+          lit(250L)) + bright).cast("int")
+    val hashed = documents(s, d)
+      .select(col("doc_id"), Multimodal.syntheticBmp(pix).as("payload"))
+      .select(col("doc_id"), Multimodal.dhashHex(col("payload")).as("dhash"))
+    val bands = hashed.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("band", "bkey")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    bands
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .groupBy("doc_id", "dhash")
+      .agg(sum(when(col("first_id") < col("doc_id"), 1).otherwise(0))
+        .cast("long").as("n_dup_bands"))
+      .withColumn("is_neardup", (col("n_dup_bands") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated oracle for [[imageDhash]]: the pixel formula inlined per
+    * sample, the same nibble packing, the same band rule. */
+  private[queries] val imageDhashOracleSql: String = {
+    def pxv(x: Int, y: Int) =
+      s"(((b * 37 + ${x * 11 + y * 23} + (b * ${(x + 3) * (y + 7)}) % 97) % 250) + br)"
+    val nibbles = (0 until 16).map { k =>
+      val v = (0 until 4).map { j =>
+        val idx = 4 * k + j
+        val y = idx / 8; val x = idx % 8
+        s"(CASE WHEN ${pxv(x, y)} > ${pxv(x + 1, y)} THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"substring('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH ids AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END AS b,
+                CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 0 END AS br
+         FROM documents),
+       hashes AS (SELECT doc_id, ($nibbles) AS dhash FROM ids),
+       bands AS (
+         SELECT doc_id, dhash, bd AS band, substring(dhash, 1 + 4*bd, 4) AS bkey
+         FROM hashes, range(0, 4) t(bd)),
+       marked AS (
+         SELECT doc_id, dhash, band,
+                min(doc_id) OVER (PARTITION BY band, bkey) AS first_id
+         FROM bands)
+       SELECT doc_id, dhash,
+              CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bands,
+              CAST(CASE WHEN sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) > 0
+                   THEN 1 ELSE 0 END AS INTEGER) AS is_neardup
+       FROM marked GROUP BY doc_id, dhash ORDER BY doc_id"""
+  }
+
   /** BPE tokenizer training, the step that dominates at corpus scale: the
     * adjacent-symbol-pair count of the first merge iteration (Sennrich et
     * al. 2016 — each iteration merges the argmax pair and re-counts; the
@@ -879,6 +962,7 @@ object TextQueries {
     "q_html_extract"      -> (htmlExtract _),
     "q_bpe_merges"        -> (bpeMergePairs _),
     "q_pair_curation"     -> (pairCuration _),
+    "q_image_dhash"       -> (imageDhash _),
     "q_frame_slices"      -> (frameSlices _),
     "q_chunk"             -> (chunkDocs _),
     "q_seq_pack"          -> (seqPack _),
@@ -1138,6 +1222,7 @@ object TextQueries {
     // engine parses them back out of the payload bytes (PNG IHDR reads,
     // JPEG marker walk) — a hash match gates the whole synthesize→parse
     // round trip plus every curation predicate, for both formats
+    "q_image_dhash" -> imageDhashOracleSql,
     "q_pair_curation" ->
       """WITH p AS (
            SELECT doc_id, lang, text,

@@ -498,4 +498,46 @@ class MultimodalSpec extends AnyFunSuite {
         s"case $id: column twin ($w, $h) vs $expected")
     }
   }
+
+  test("synthetic BMP is a real BMP: ImageIO decode + JVM dhash pin the column twin") {
+    import spark.implicits._
+    // the q_image_dhash pixel formula, for a handful of ids spanning both
+    // the base and the +2-brightness mirror arms
+    val ids = Seq(0L, 3L, 4L, 7L, 13L, 14L)
+    def pixCol(x: Int, y: Int) = {
+      val mirror = pmod(col("doc_id"), lit(5L)) === 4L
+      val base = when(mirror, col("doc_id") - 1L).otherwise(col("doc_id"))
+      val bright = when(mirror, lit(2)).otherwise(lit(0))
+      (pmod(base * 37L + lit(x * 11 + y * 23)
+          + pmod(base * lit((x + 3) * (y + 7)), lit(97L)),
+          lit(250L)) + bright).cast("int")
+    }
+    val rows = ids.toDF("doc_id")
+      .select(col("doc_id"), Multimodal.syntheticBmp(pixCol).as("payload"))
+      .select(col("doc_id"), col("payload"),
+        Multimodal.dhashHex(col("payload")).as("dhash"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2)))
+    def pixJvm(id: Long, x: Int, y: Int): Int = {
+      val b = if (id % 5 == 4) id - 1 else id
+      val br = if (id % 5 == 4) 2 else 0
+      (((b * 37 + x * 11 + y * 23 + (b * (x + 3) * (y + 7)) % 97) % 250) + br).toInt
+    }
+    rows.foreach { case (id, payload, dhash) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO failed to decode the synthesized BMP for doc $id")
+      assert(img.getWidth == Multimodal.DhashCols && img.getHeight == Multimodal.DhashRows)
+      // every decoded luma equals the synthesis formula (full byte round trip)
+      for (y <- 0 until Multimodal.DhashRows; x <- 0 until Multimodal.DhashCols)
+        assert((img.getRGB(x, y) & 0xff) == pixJvm(id, x, y),
+          s"doc $id pixel ($x,$y): decoded ${img.getRGB(x, y) & 0xff} vs formula ${pixJvm(id, x, y)}")
+      // the column expression's hash equals the hash of the REAL decode
+      assert(dhash == Multimodal.dhashHexOfImage(img), s"doc $id dhash mismatch")
+    }
+    // brightness invariance: the mirror doc's payload differs, its dhash doesn't
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(!byId(3L)._2.sameElements(byId(4L)._2), "mirror payload must differ (brightness)")
+    assert(byId(3L)._3 == byId(4L)._3, "dhash must be brightness-invariant")
+    assert(byId(13L)._3 == byId(14L)._3)
+    assert(byId(0L)._3 != byId(3L)._3, "unrelated docs should not collide on the full hash")
+  }
 }

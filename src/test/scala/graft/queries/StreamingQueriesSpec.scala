@@ -110,4 +110,38 @@ class StreamingQueriesSpec extends AnyFunSuite {
         Seq("events.parquet")).isEmpty)
     } finally sys.props.remove("spark.graft.statestore")
   }
+
+  test("stream_neardup equals the batch band-dedup twin (engine-vs-engine)") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    val streamed = StreamingQueries.streamNearDedup(spark, sf)
+      .collect().map(key).toSet
+    val batch = SimilarityQueries.bandDedup(spark, sf).collect().map(key).toSet
+    assert(streamed == batch && streamed.exists(_._3 == 1),
+      "stream and batch verdicts must agree, and the tier must contain near-dups")
+  }
+
+  test("stream_neardup: exact duplicate flagged in all 4 bands, min doc_id survives") {
+    // crafted corpus: doc 2 repeats doc 1's text verbatim (all 8 sigs
+    // equal -> all 4 bands collide -> n_dup_bands = 4), doc 3 is unrelated
+    // (0 bands). The smaller doc_id survives in BOTH engines' paths.
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_").toString
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (3L, "entirely different words compose this third document body", "en", "web", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val expect = Set((1L, 0L, 0), (2L, 4L, 1), (3L, 0L, 0))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(SimilarityQueries.bandDedup(spark, dir).collect().map(key).toSet == expect)
+      assert(StreamingQueries.streamNearDedup(spark, dir).collect().map(key).toSet == expect)
+    } finally {
+      val reg = new graft.util.LayoutRegistry
+      reg.register(java.nio.file.Paths.get(dir)); reg.deleteAll()
+    }
+  }
 }
