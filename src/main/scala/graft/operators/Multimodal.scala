@@ -627,6 +627,64 @@ object Multimodal {
       octet_length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
 
+  /** WAV (RIFF/WAVE) header metadata as a pure column expression: a
+    * BOUNDED CHUNK WALK (the jpegDims discipline — never fixed offsets
+    * past the RIFF preamble, because real WAVs carry LIST/INFO/bext
+    * chunks before `fmt `): up to 8 chunk hops from offset 12, each hop
+    * reading the 4-byte id + LE32 size and advancing `8 + size + (size
+    * mod 2)` (RIFF chunks are word-aligned — the pad byte real encoders
+    * emit on odd sizes). `fmt ` yields channels/sample-rate/bits/block-
+    * align (PCM layout), `data` yields the declared payload size;
+    * `n_frames = data size / block align`. A non-RIFF/WAVE payload (or
+    * one whose walk never finds `fmt `) returns all-null fields — the
+    * decodability gate. Truncation-safe: a hop that would read past the
+    * payload leaves the accumulator unchanged, so a header-only clip
+    * (the metadata-extraction case — data bytes elided) still parses. */
+  def wavMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def u8(o: Column): Column =
+      conv(hex(call_function("substr", payload, o + 1L, lit(1))), 16, 10).cast("long")
+    def le16(o: Column) = u8(o) + u8(o + 1L) * 256L
+    def le32(o: Column) =
+      u8(o) + u8(o + 1L) * 256L + u8(o + 2L) * 65536L + u8(o + 3L) * 16777216L
+    def tag4(o: Column) = hex(call_function("substr", payload, o + 1L, lit(4)))
+    val plen = length(payload).cast("long")
+    val isRiffWave = plen >= 12L &&
+      tag4(lit(0L)) === "52494646" && tag4(lit(8L)) === "57415645" // RIFF..WAVE
+    val nl = lit(null).cast("long")
+    val init = struct(lit(12L).as("off"), nl.as("ch"), nl.as("rate"),
+      nl.as("bits"), nl.as("balign"), nl.as("dsize"))
+    val walked = aggregate(sequence(lit(1), lit(8)), init, (acc, _) => {
+      val off = acc.getField("off")
+      val canRead = (off + 8L) <= plen
+      val id = tag4(off)
+      val csize = le32(off + 4L)
+      val next = off + 8L + csize + pmod(csize, lit(2L))
+      val isFmt = id === "666D7420" && (off + 24L) <= plen // "fmt " fully readable
+      val isData = id === "64617461" // "data"
+      when(!canRead, acc).otherwise(struct(
+        next.as("off"),
+        when(isFmt, le16(off + 10L)).otherwise(acc.getField("ch")).as("ch"),
+        when(isFmt, le32(off + 12L)).otherwise(acc.getField("rate")).as("rate"),
+        when(isFmt, le16(off + 22L)).otherwise(acc.getField("bits")).as("bits"),
+        when(isFmt, le16(off + 20L)).otherwise(acc.getField("balign")).as("balign"),
+        when(isData, csize).otherwise(acc.getField("dsize")).as("dsize")))
+    })
+    val nulls = struct(
+      lit(null).cast("int").as("channels"), lit(null).cast("int").as("sample_rate"),
+      lit(null).cast("int").as("bits"), lit(null).cast("long").as("n_frames"))
+    when(isRiffWave,
+      struct(
+        walked.getField("ch").cast("int").as("channels"),
+        walked.getField("rate").cast("int").as("sample_rate"),
+        walked.getField("bits").cast("int").as("bits"),
+        when(walked.getField("balign") > 0L,
+          (walked.getField("dsize") - pmod(walked.getField("dsize"), walked.getField("balign")))
+            / walked.getField("balign"))
+          .otherwise(lit(null)).cast("long").as("n_frames")))
+      .otherwise(nulls)
+  }
+
   // -------------------------------------------------------------------
   // Perceptual hashing (dHash) — the image near-dup primitive
   // -------------------------------------------------------------------

@@ -409,6 +409,113 @@ object TextQueries {
        FROM marked GROUP BY doc_id, dhash ORDER BY doc_id"""
   }
 
+  /** Audio-clip metadata curation — the AUDIO arm of the multimodal
+    * surface (the image arm is [[pairCuration]]/[[imageDhash]]): each doc
+    * carries a REAL RIFF/WAVE container (PCM fmt chunk + declared data
+    * size; data bytes elided — header-metadata extraction, the pass a
+    * 100 TB audio corpus runs BEFORE any decode), and the engine recovers
+    * channels / sample rate / bit depth / frame count with
+    * [[graft.operators.Multimodal.wavMeta]]'s bounded CHUNK WALK — never
+    * fixed offsets, because one arm plants an odd-sized LIST chunk before
+    * `fmt ` (word-alignment pad and all) exactly where real broadcast
+    * WAVs carry bext/LIST metadata. MultimodalSpec pins the walk against
+    * the JDK's own `javax.sound.sampled` header parse on every arm.
+    *
+    * Synthesis arms (first match wins, mirrored in the oracle): doc_id
+    * %17 → non-audio payload the gate must null out; %11 → 8 kHz mono
+    * 8-bit; %13 → 44.1 kHz stereo 16-bit; %19 → 16 kHz mono 16-bit
+    * behind the odd LIST chunk; else 16 kHz mono 16-bit. Frame count =
+    * 8000 + (doc_id·31 mod 64000). Curation gate: a parsed fmt, sample
+    * rate in [8000, 48000], duration ≥ 500 ms — the 44.1 kHz arm's short
+    * clips (< 22 050 frames) drop, so the gate discriminates on REAL
+    * parsed values, not arm identity. One map-only pass, scan pruned to
+    * doc_id. */
+  /** The synthesized WAV payload per doc — shared between [[audioMeta]]
+    * and MultimodalSpec's byte-level javax.sound pin. */
+  private[graft] def audioPayloads(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def leBytes(c: Column, n: Int): Column =
+      unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+    val nFrames = (lit(8000L) + pmod(col("doc_id") * 31L, lit(64000L)))
+    def wav(rate: Long, ch: Int, bits: Int, listChunk: Boolean): Column = {
+      val ba = ch * bits / 8
+      val dsize = nFrames * ba.toLong
+      val fmtAndData = concat(
+        unhex(lit("666D742010000000" + "0100")), // "fmt " size=16, PCM
+        leBytes(lit(ch.toLong), 2), leBytes(lit(rate), 4),
+        leBytes(lit(rate * ba), 4), leBytes(lit(ba.toLong), 2),
+        leBytes(lit(bits.toLong), 2),
+        unhex(lit("64617461")), leBytes(dsize, 4), // "data" + declared size
+        unhex(lit("00000000"))) // 4 real bytes; the rest elided
+      // odd-sized LIST chunk (size 9 -> word-alignment pad byte) the walk must hop
+      val list = unhex(lit("4C495354" + "09000000" + "494E464F4A554E4B31" + "00"))
+      val chunks = if (listChunk) concat(list, fmtAndData) else fmtAndData
+      val riffSize = lit(4L + (if (listChunk) 18L else 0L) + 24L) + lit(8L) + dsize
+      concat(unhex(lit("52494646")), leBytes(riffSize, 4), unhex(lit("57415645")), chunks)
+    }
+    val garbage = unhex(lit("DEADBEEF00666D7420")) // red-herring "fmt " off-preamble
+    val payload =
+      when(pmod(col("doc_id"), lit(17L)) === 0L, garbage)
+        .when(pmod(col("doc_id"), lit(11L)) === 0L, wav(8000L, 1, 8, listChunk = false))
+        .when(pmod(col("doc_id"), lit(13L)) === 0L, wav(44100L, 2, 16, listChunk = false))
+        .when(pmod(col("doc_id"), lit(19L)) === 0L, wav(16000L, 1, 16, listChunk = true))
+        .otherwise(wav(16000L, 1, 16, listChunk = false))
+    documents(s, d).select(col("doc_id"), payload.as("payload"))
+  }
+
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    val meta = audioPayloads(s, d)
+      .select(col("doc_id"), graft.operators.Multimodal.wavMeta(col("payload")).as("m"))
+      .select(col("doc_id"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits").as("bits_per_sample"),
+        col("m.n_frames").as("n_frames"))
+    val ms = col("n_frames") * 1000L
+    meta
+      .withColumn("duration_ms",
+        ((ms - pmod(ms, col("sample_rate"))) / col("sample_rate")).cast("long"))
+      .withColumn("keep",
+        when(col("sample_rate").isNotNull &&
+            col("sample_rate").between(8000, 48000) &&
+            col("duration_ms") >= 500L, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Generated oracle for [[audioMeta]]: the arm arithmetic inlined (the
+    * payload round trip is pinned engine-side by MultimodalSpec's
+    * javax.sound parse, the imageDhash discipline). */
+  private[queries] val audioMetaOracleSql: String =
+    """WITH arms AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN NULL
+                     WHEN doc_id % 11 = 0 THEN 1
+                     WHEN doc_id % 13 = 0 THEN 2
+                     ELSE 1 END AS channels,
+                CASE WHEN doc_id % 17 = 0 THEN NULL
+                     WHEN doc_id % 11 = 0 THEN 8000
+                     WHEN doc_id % 13 = 0 THEN 44100
+                     ELSE 16000 END AS sample_rate,
+                CASE WHEN doc_id % 17 = 0 THEN NULL
+                     WHEN doc_id % 11 = 0 THEN 8
+                     ELSE 16 END AS bits_per_sample,
+                CASE WHEN doc_id % 17 = 0 THEN NULL
+                     ELSE 8000 + (doc_id * 31) % 64000 END AS n_frames
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(channels AS INTEGER) AS channels,
+                CAST(sample_rate AS INTEGER) AS sample_rate,
+                CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+                CAST(n_frames AS BIGINT) AS n_frames,
+                CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
+         FROM arms)
+       SELECT doc_id, channels, sample_rate, bits_per_sample, n_frames, duration_ms,
+              CAST(CASE WHEN sample_rate BETWEEN 8000 AND 48000
+                          AND duration_ms >= 500 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       FROM m ORDER BY doc_id"""
+
   /** BPE tokenizer training, the step that dominates at corpus scale: the
     * adjacent-symbol-pair count of the first merge iteration (Sennrich et
     * al. 2016 — each iteration merges the argmax pair and re-counts; the
@@ -963,6 +1070,7 @@ object TextQueries {
     "q_bpe_merges"        -> (bpeMergePairs _),
     "q_pair_curation"     -> (pairCuration _),
     "q_image_dhash"       -> (imageDhash _),
+    "q_audio_meta"        -> (audioMeta _),
     "q_frame_slices"      -> (frameSlices _),
     "q_chunk"             -> (chunkDocs _),
     "q_seq_pack"          -> (seqPack _),
@@ -1223,6 +1331,7 @@ object TextQueries {
     // JPEG marker walk) — a hash match gates the whole synthesize→parse
     // round trip plus every curation predicate, for both formats
     "q_image_dhash" -> imageDhashOracleSql,
+    "q_audio_meta" -> audioMetaOracleSql,
     "q_pair_curation" ->
       """WITH p AS (
            SELECT doc_id, lang, text,

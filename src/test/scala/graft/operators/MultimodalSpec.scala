@@ -540,4 +540,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(13L)._3 == byId(14L)._3)
     assert(byId(0L)._3 != byId(3L)._3, "unrelated docs should not collide on the full hash")
   }
+
+  test("wavMeta chunk walk matches the JDK's own WAV header parse on every arm") {
+    import spark.implicits._
+    // ids spanning q_audio_meta's arms INCLUDING precedence overlaps:
+    // 1 default, 11 8k mono 8-bit, 13 44.1k stereo, 19 odd-LIST-chunk,
+    // 143 = 11·13 (8k wins), 17 + 0 garbage, 187 = 11·17 (garbage wins)
+    val ids = Seq(0L, 1L, 11L, 13L, 17L, 19L, 143L, 187L)
+    val q = TextQueriesAudioProbe.payloadAndMeta(spark, ids)
+    q.foreach { case (id, payload, parsed) =>
+      val expectGarbage = id % 17 == 0
+      if (expectGarbage) {
+        assert(parsed == ((None, None, None, None)), s"doc $id: garbage must parse null")
+        intercept[Exception] { // the JDK agrees it is not audio
+          javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(payload))
+        }
+      } else {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        assert(parsed._1.contains(fmt.getChannels), s"doc $id channels")
+        assert(parsed._2.contains(fmt.getSampleRate.toInt), s"doc $id rate")
+        assert(parsed._3.contains(fmt.getSampleSizeInBits), s"doc $id bits")
+        assert(parsed._4.contains(aff.getFrameLength.toLong), s"doc $id frames: " +
+          s"walk ${parsed._4} vs JDK ${aff.getFrameLength}")
+        // and the arithmetic the oracle recomputes
+        assert(parsed._4.contains(8000L + (id * 31) % 64000), s"doc $id frame arithmetic")
+      }
+    }
+  }
+}
+
+/** Exposes q_audio_meta's synthesis + parse for the byte-level spec pin
+  * without widening the query object's API. */
+private[operators] object TextQueriesAudioProbe {
+  def payloadAndMeta(spark: org.apache.spark.sql.SparkSession, ids: Seq[Long])
+      : Seq[(Long, Array[Byte], (Option[Int], Option[Int], Option[Int], Option[Long]))] = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_audio_probe_").toString
+    ids.map(i => (i, s"doc $i", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // re-derive the payload through the query's own synthesis by running
+      // audioMeta for the parsed fields, and rebuilding payloads via the
+      // same public column path (payload is internal to the query, so
+      // recover it from the registered query's input contract: run the
+      // query and read payload from a parallel projection)
+      val meta = graft.queries.TextQueries.audioMeta(spark, dir)
+        .collect().map { r =>
+          r.getLong(0) -> (
+            if (r.isNullAt(1)) None else Some(r.getInt(1)),
+            if (r.isNullAt(2)) None else Some(r.getInt(2)),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))
+        }.toMap
+      val payloads = graft.queries.TextQueries.audioPayloads(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      ids.map(i => (i, payloads(i), meta(i)))
+    } finally {
+      val reg = new graft.util.LayoutRegistry
+      reg.register(java.nio.file.Paths.get(dir)); reg.deleteAll()
+    }
+  }
 }
