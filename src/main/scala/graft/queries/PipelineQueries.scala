@@ -205,6 +205,52 @@ object PipelineQueries {
       .orderBy("l_linestatus")
   }
 
+  /** Binary-file SOURCE ingest — the multimodal ingestion path at corpus
+    * scale: images land as one FILE per object (the crawl layout) and
+    * Spark's built-in `binaryFile` source reads (path, length, content)
+    * distributedly, with `pathGlobFilter` keeping non-image junk out of
+    * the scan entirely. The fixture materializes every 97th doc's 9×8 BMP
+    * (the [[TextQueries.imageDhash]] synthesis — byte round trip pinned
+    * by MultimodalSpec's ImageIO decode) EXECUTOR-SIDE via
+    * `foreachPartition` — files never transit the driver — plus a
+    * README.txt the glob must exclude; one materialization per
+    * (application, dataset), revalidated like every memo-of-layout site.
+    * The 1-in-97 sample keeps the file COUNT ingestible at the derived
+    * tiers (100× would otherwise mint 500 k inodes) while still growing
+    * linearly with the corpus — the sampling is declared here and
+    * mirrored in the oracle, not silent. The engine recovers doc_id from
+    * the file NAME and the perceptual hash from the file BYTES; the
+    * oracle recomputes both from the synthesis arithmetic. */
+  private val binMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  def binaryIngest(s: SparkSession, d: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = graft.util.Memo.onceValid(binMemo, key)(
+        p => graft.util.InputSize.exists(s, p)) {
+      val dir = graft.util.TempLayouts.register(
+        java.nio.file.Files.createTempDirectory("graft_binfiles_")).toString
+      TextQueries.imagePayloads(s, d)
+        .filter(col("doc_id") % 97L === 0L)
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"img_${r.getLong(0)}%012d.bmp"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "README.txt"), "not an image\n")
+      dir
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(path)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("n_bytes"),
+        graft.operators.Multimodal.dhashHex(col("content")).as("dhash"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_decontam"          -> (decontam _),
@@ -212,11 +258,19 @@ object PipelineQueries {
     "q_sample_stratified" -> (sampleStratified _),
     "q_jsonl_ingest"      -> (jsonlIngest _),
     "q_orc_ingest"        -> (orcIngest _),
+    "q_binary_ingest"     -> (binaryIngest _),
   )
 
   val oracle: Map[String, String] = Map(
     // the engine aggregated these rows from its ORC round-trip; the oracle
     // reads the SAME rows from parquet — a hash match is format parity
+    // the engine read these rows back from real files through the
+    // binaryFile source; the oracle recomputes the synthesis arithmetic —
+    // a hash match proves the write→list→read→parse round trip
+    "q_binary_ingest" ->
+      s"""WITH ${TextQueries.imageDhashHashesCte}
+       SELECT doc_id, CAST(278 AS BIGINT) AS n_bytes, dhash
+       FROM hashes WHERE doc_id % 97 = 0 ORDER BY doc_id""",
     "q_orc_ingest" ->
       """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
               CAST(sum(l_orderkey) AS BIGINT) AS key_sum,

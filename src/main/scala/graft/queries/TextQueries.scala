@@ -350,7 +350,9 @@ object TextQueries {
     * map-only pass (~73 concat terms, 128 byte probes — constant-width
     * codegen); the band shuffle carries (doc_id, 16-char hash, 4-char
     * key) rows only. */
-  def imageDhash(s: SparkSession, d: String): DataFrame = {
+  /** The synthesized per-doc BMP payload — shared between [[imageDhash]]
+    * and [[PipelineQueries.binaryIngest]]'s file materialization. */
+  private[graft] def imagePayloads(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     val mirror = pmod(col("doc_id"), lit(5L)) === 4L
     val base = when(mirror, col("doc_id") - 1L).otherwise(col("doc_id"))
@@ -359,8 +361,12 @@ object TextQueries {
       (pmod(base * 37L + lit(x * 11 + y * 23)
           + pmod(base * lit((x + 3) * (y + 7)), lit(97L)),
           lit(250L)) + bright).cast("int")
-    val hashed = documents(s, d)
-      .select(col("doc_id"), Multimodal.syntheticBmp(pix).as("payload"))
+    documents(s, d).select(col("doc_id"), Multimodal.syntheticBmp(pix).as("payload"))
+  }
+
+  def imageDhash(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    val hashed = imagePayloads(s, d)
       .select(col("doc_id"), Multimodal.dhashHex(col("payload")).as("dhash"))
     val bands = hashed.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until 4).map(b =>
@@ -376,9 +382,11 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Generated oracle for [[imageDhash]]: the pixel formula inlined per
-    * sample, the same nibble packing, the same band rule. */
-  private[queries] val imageDhashOracleSql: String = {
+  /** Generated oracle CTE shared by [[imageDhashOracleSql]] and
+    * [[PipelineQueries]]' binary-ingest oracle: the pixel formula inlined
+    * per sample, the same nibble packing as the engine's payload-byte
+    * extraction. */
+  private[queries] val imageDhashHashesCte: String = {
     def pxv(x: Int, y: Int) =
       s"(((b * 37 + ${x * 11 + y * 23} + (b * ${(x + 3) * (y + 7)}) % 97) % 250) + br)"
     val nibbles = (0 until 16).map { k =>
@@ -389,12 +397,18 @@ object TextQueries {
       }.mkString(" + ")
       s"substring('0123456789abcdef', ($v) + 1, 1)"
     }.mkString(" || ")
-    s"""WITH ids AS (
+    s"""ids AS (
          SELECT doc_id,
                 CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END AS b,
                 CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 0 END AS br
          FROM documents),
-       hashes AS (SELECT doc_id, ($nibbles) AS dhash FROM ids),
+       hashes AS (SELECT doc_id, ($nibbles) AS dhash FROM ids)"""
+  }
+
+  /** Generated oracle for [[imageDhash]]: the shared hash CTE plus the
+    * band rule. */
+  private[queries] val imageDhashOracleSql: String = {
+    s"""WITH $imageDhashHashesCte,
        bands AS (
          SELECT doc_id, dhash, bd AS band, substring(dhash, 1 + 4*bd, 4) AS bkey
          FROM hashes, range(0, 4) t(bd)),

@@ -118,4 +118,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .orderBy("l_linestatus").collect().toSeq
     assert(df.collect().toSeq == viaParquet && viaParquet.nonEmpty)
   }
+
+  test("binary ingest: files round-trip through the binaryFile source, glob filters junk") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf
+    val rows = PipelineQueries.binaryIngest(spark, sf).collect()
+    // the 1-in-97 sample of the tier's docs, every file parsed
+    val expectIds = graft.util.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.map(_.getLong(0)).toSeq == expectIds && expectIds.nonEmpty)
+    // README.txt exists on disk but the pathGlobFilter kept it out of the
+    // scan: every row parsed as a BMP with the fixed synthesized size
+    assert(rows.forall(_.getLong(1) == 278L))
+    // file BYTES hash exactly like the in-engine payload column path
+    val viaColumn = graft.queries.TextQueries.imagePayloads(spark, sf)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        graft.operators.Multimodal.dhashHex(col("payload")).as("dhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => assert(viaColumn(r.getLong(0)) == r.getString(2),
+      s"doc ${r.getLong(0)}: file-byte dhash differs from the column path"))
+  }
 }

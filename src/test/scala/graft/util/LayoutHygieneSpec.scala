@@ -59,6 +59,7 @@ class LayoutHygieneSpec extends AnyFunSuite {
     // never a failed scan. Exercise all three path-memoized consumers.
     def runAll(): Seq[Array[org.apache.spark.sql.Row]] = Seq(
       graft.queries.PipelineQueries.orcIngest(spark, sf).collect(),
+      graft.queries.PipelineQueries.binaryIngest(spark, sf).collect(),
       graft.queries.SimilarityQueries.cosineTopKIvfAssigned(spark, sf).collect(),
       graft.queries.RelationalQueries.starJoinBucketed(spark, sf).collect())
     val before = runAll()
