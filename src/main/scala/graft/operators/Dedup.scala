@@ -133,14 +133,30 @@ object Dedup {
     * (PolyHashSpec pins the equality on the real corpus). */
   def polyHash(s: Column): Column = graft.expr.PolyHash.poly_hash(s)
 
-  /** One column per permutation: min over shingle poly-hashes. All 8
-    * minima come from ONE compiled pass over the shingle array
-    * ([[graft.expr.MinhashSigs]]) — the former spelling (a `transform`
-    * materializing the hash array, then 8 interpreted `transform` +
-    * `array_min` passes) paid ~8·|shingles| lambda dispatches and 9
-    * array allocations per document and dominated q_delta_dedup's
-    * 100×-tier profile. Values are pinned identical by MinhashSigsSpec. */
+  /** One column per permutation: min over shingle poly-hashes. The whole
+    * signature comes from TWO compiled passes — [[graft.expr.ShingleHashes]]
+    * folds the per-position shingle polyHashes straight off the text (no
+    * split/sequence/slice/concat_ws/array_distinct HOF machinery; min is
+    * duplicate-insensitive, so the skipped string-level distinct cannot
+    * change any signature) and [[graft.expr.MinhashSigs]] folds those
+    * hashes into the 8 running minima. The former spelling (regex split +
+    * interpreted `transform` building a string per shingle, then the
+    * array_distinct hash set, then the hash fold) allocated ~5 objects and
+    * paid 2 lambda dispatches per shingle; it dominated the forced
+    * map-only rows (q_minhash_arith, q_band_dedup) and q_delta_dedup's
+    * signature pass. Values are pinned identical by MinhashSigsSpec and
+    * ShingleHashesSpec (r14). */
   def arithMinhashColumns(textCol: Column, shingleN: Int = 3): Seq[Column] = {
+    val sigs = graft.expr.MinhashSigs
+      .minhash_sigs(graft.expr.ShingleHashes.shingle_hashes(textCol, shingleN))
+    arithPerms.indices.map(i => element_at(sigs, i + 1).as(s"sig_$i"))
+  }
+
+  /** The pre-r14 HOF spelling of [[arithMinhashColumns]], kept as the
+    * value-identity pin for ShingleHashesSpec (and as executable
+    * documentation of the contract the compiled pass must honor). */
+  private[graft] def arithMinhashColumnsHof(textCol: Column,
+                                            shingleN: Int = 3): Seq[Column] = {
     val sigs = graft.expr.MinhashSigs
       .minhash_sigs(TextFunctions.wordShingles(textCol, shingleN))
     arithPerms.indices.map(i => element_at(sigs, i + 1).as(s"sig_$i"))
@@ -166,10 +182,18 @@ object Dedup {
 
   /** Engine-portable 32-bit SimHash (the arithmetic-hash sibling of
     * [[arithMinhashColumns]]): word hashes via [[polyHash]], frequency-
-    * weighted bit sums, sign → bit. Every operation (fold, shift, and, or)
-    * is plain SQL — `q_simhash_arith` checks it value-for-value in DuckDB.
-    * The xxhash64 64-bit [[simhash64]] stays as the fast path. */
-  def arithSimhash32(textCol: Column): Column = {
+    * weighted bit sums, sign → bit — `q_simhash_arith` checks it
+    * value-for-value in DuckDB. Compiled one-pass [[graft.expr.Simhash32]]
+    * (r14): the HOF spelling below paid a fresh 32-element `zip_with`
+    * array plus 32 interpreted `when`/shift steps PER WORD; Simhash32Spec
+    * pins value equality against it on the real corpus. The xxhash64
+    * 64-bit [[simhash64]] stays as the non-portable fast path. */
+  def arithSimhash32(textCol: Column): Column =
+    graft.expr.Simhash32.simhash32(textCol)
+
+  /** The pre-r14 HOF spelling of [[arithSimhash32]], kept as the
+    * value-identity pin for Simhash32Spec. */
+  private[graft] def arithSimhash32Hof(textCol: Column): Column = {
     val bits = 32
     val hashes = transform(split(textCol, " "), polyHash(_))
     val zeros = transform(sequence(lit(0), lit(bits - 1)), _ => lit(0L))

@@ -336,6 +336,25 @@ object Multimodal {
     * that need it, not expression size. */
   def jpegDims(payload: org.apache.spark.sql.Column,
                maxSegments: Int = 32): org.apache.spark.sql.Column = {
+    // compiled walk (r14, optimization guide §4): one Java loop per row in
+    // place of the interpreted `aggregate` fold (a struct allocation and a
+    // ~10-node CaseWhen per step, each byte read a conv(hex(substr)))
+    // whose cost dominated q_pair_curation. Same states, same step budget;
+    // the Column fold survives below as [[jpegDimsHof]], the value-identity
+    // pin (BinaryMetaSpec + the parseDims shape tests). coalesce restores
+    // the fold's null-payload output: a non-null struct of null fields.
+    import org.apache.spark.sql.GraftBridge
+    val nullInt = lit(null).cast("int")
+    coalesce(
+      GraftBridge.column(graft.expr.JpegDims(GraftBridge.expression(payload), maxSegments)),
+      struct(nullInt.as("w"), nullInt.as("h")))
+  }
+
+  /** The pre-r14 pure-Column spelling of [[jpegDims]] — kept as the
+    * value-identity pin for BinaryMetaSpec (and as the engine-portable
+    * reference formulation of the walk). */
+  private[graft] def jpegDimsHof(payload: org.apache.spark.sql.Column,
+                                 maxSegments: Int = 32): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.Column
     val plen = length(payload)
     def u8(o: Column): Column = // o is a 0-based byte offset
@@ -395,6 +414,18 @@ object Multimodal {
     * Returns `struct(w INT, h INT)` with null fields for non-WebP
     * payloads, unknown chunk types, or truncated headers. */
   def webpDims(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // compiled parse (r14) — see [[jpegDims]]; the Column spelling survives
+    // as [[webpDimsHof]], the BinaryMetaSpec pin
+    import org.apache.spark.sql.GraftBridge
+    val nullInt = lit(null).cast("int")
+    coalesce(
+      GraftBridge.column(graft.expr.WebpDims(GraftBridge.expression(payload))),
+      struct(nullInt.as("w"), nullInt.as("h")))
+  }
+
+  /** The pre-r14 pure-Column spelling of [[webpDims]] — the BinaryMetaSpec
+    * value-identity pin. */
+  private[graft] def webpDimsHof(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.Column
     def u8(off: Int): Column = // off is a 0-based byte offset
       conv(hex(call_function("substr", payload, lit(off + 1), lit(1))), 16, 10).cast("int")
@@ -641,6 +672,19 @@ object Multimodal {
     * payload leaves the accumulator unchanged, so a header-only clip
     * (the metadata-extraction case — data bytes elided) still parses. */
   def wavMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // compiled walk (r14) — see [[jpegDims]]; the Column spelling survives
+    // as [[wavMetaHof]], the BinaryMetaSpec pin
+    import org.apache.spark.sql.GraftBridge
+    coalesce(
+      GraftBridge.column(graft.expr.WavMeta(GraftBridge.expression(payload))),
+      struct(
+        lit(null).cast("int").as("channels"), lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("bits"), lit(null).cast("long").as("n_frames")))
+  }
+
+  /** The pre-r14 pure-Column spelling of [[wavMeta]] — the BinaryMetaSpec
+    * value-identity pin. */
+  private[graft] def wavMetaHof(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.Column
     def u8(o: Column): Column =
       conv(hex(call_function("substr", payload, o + 1L, lit(1))), 16, 10).cast("long")
@@ -746,6 +790,19 @@ object Multimodal {
     * semantics — bit 63 set would make the integer form negative, and
     * DuckDB raises on signed overflow where Spark wraps. */
   def dhashHex(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // compiled hash (r14) — see [[jpegDims]]; the Column spelling survives
+    // as [[dhashHexHof]], the BinaryMetaSpec pin. coalesce restores the
+    // Column spelling's null-payload output: every comparison null → every
+    // bit 0 → the all-zero hex string (concat never sees a null nibble).
+    import org.apache.spark.sql.GraftBridge
+    coalesce(
+      GraftBridge.column(graft.expr.DhashHex(GraftBridge.expression(payload))),
+      lit("0000000000000000"))
+  }
+
+  /** The pre-r14 pure-Column spelling of [[dhashHex]] — the BinaryMetaSpec
+    * value-identity pin. */
+  private[graft] def dhashHexHof(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nibbles = (0 until 16).map { k =>
       val v = (0 until 4).map { j =>
         val idx = 4 * k + j

@@ -635,12 +635,14 @@ object CorpusQueries {
     val K = 3; val W = 4
     val Shift = 2147483648L // 2^31
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("gh",
-        when(size(col("ws")) < K, array().cast("array<bigint>"))
-          .otherwise(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
-            j => graft.operators.Dedup.polyHash(
-              concat_ws(" ", slice(col("ws"), j, lit(K)))))))
+      // gh via the compiled from-text pass (r14): one polyHash fold per
+      // gram POSITION — identical values to the former split + transform +
+      // concat_ws(slice(ws)) spelling (a consecutive word run re-joined
+      // with ' ' is the original character span), with the winnowing
+      // `< K words → empty` fallback. Pinned by ShingleHashesSpec.
+      .select(col("doc_id"),
+        graft.expr.ShingleHashes.shingle_hashes(col("text"), K,
+          emptyIfShort = true).as("gh"))
       .withColumn("enc", transform(col("gh"),
         (h, i) => h * lit(Shift) + (lit(Shift - 1) - i)))
       .withColumn("sel",
@@ -758,10 +760,12 @@ object CorpusQueries {
     // through the band explode), with the oracle computing the identical
     // hashed sets.
     val sigsOf = graft.expr.MinhashSigs.minhash_sigs(col("hsh"))
+    // shingle_hashes (r14) skips wordShingles' string-level distinct: the
+    // sigs are minima (duplicate-insensitive) and `sh` re-distincts by hash
+    // value below — equal strings hash equal, so the set is unchanged
+    // (pinned by ShingleHashesSpec)
     def prep(docs: DataFrame) = docs
-      .withColumn("hsh",
-        transform(TextFunctions.wordShingles(col("text"), 3),
-          graft.operators.Dedup.polyHash(_)))
+      .withColumn("hsh", graft.expr.ShingleHashes.shingle_hashes(col("text"), 3))
       .select(
         (col("doc_id") +: md5(col("text").cast("binary")).as("m") +:
           array_sort(array_distinct(col("hsh"))).as("sh") +:
