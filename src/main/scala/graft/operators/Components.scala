@@ -76,15 +76,26 @@ object Components {
   }
 
   /** Edge-count ceiling for the driver-local closure in
-    * [[connectedComponents]]. At ≤100 k canonical edges the vertex→component
-    * mapping is ≤ ~200 k (Long, Long) rows — a few MB: BOUNDED driver state
-    * in the same class as the library's centroid/codebook collects, and
-    * small enough that every downstream consumer joins it broadcast. Above
-    * the bound the alternating-star iteration runs unchanged (the 100 TB
-    * path — a clone-heavy derived tier's star graph is millions of edges
-    * and must never visit the driver). The gate rides on the edge COUNT the
-    * convergence signature already materializes — no extra probe action. */
-  val LocalClosureBound = 100000L
+    * [[connectedComponents]]. At ≤1 M canonical edges the collected edge
+    * list is ~16 MB of primitive pairs and the vertex→component mapping
+    * ≤ ~2 M (Long, Long) rows — tens of MB: BOUNDED driver state well
+    * inside both `spark.driver.maxResultSize` (1 GB default) and the size
+    * class every downstream consumer can join BROADCAST (guide §3.1: a few
+    * hundred MB is fine, the hard cap is 8 GB). Above the bound the
+    * alternating-star iteration runs unchanged (the 100 TB path — a
+    * clone-heavy derived tier's star graph is millions of edges and must
+    * never visit the driver; the 100× tier's 4.7 M-edge graph stays
+    * distributed under this bound). The gate rides on the edge COUNT the
+    * convergence signature already materializes — no extra probe action.
+    *
+    * Raised 100 k → 1 M in r14: each distributed round costs several
+    * fixed-latency shuffle jobs (snapshot + signature + rewrite — measured
+    * ~0.9-1.5 s/round warm on local[32] REGARDLESS of edge count at this
+    * scale), and q_dedup_clusters' sf0.1 graph (119 k canonical edges) sat
+    * just past the old bound, paying 5 distributed rounds ≈ 5 s where the
+    * union-find closes 119 k edges in milliseconds. Route equivalence is
+    * spec-pinned (ComponentsSpec runs every fixture on BOTH routes). */
+  val LocalClosureBound = 1000000L
 
   /** Connected components of the undirected graph given by (aCol, bCol)
     * Long pairs. Returns ("id", "component") for every vertex present in
@@ -156,7 +167,10 @@ object Components {
     try {
       var sig = edgeSetSig(cur.df)
       if (sig._1 <= localBound) {
-        val rows = cur.df.collect() // ≤ localBound rows — bounded by the gate
+        // collect through the typed RDD handle: primitive (Long, Long)
+        // tuples, not Row objects — at the r14 1 M-edge bound the Row
+        // spelling would transiently hold ~80 MB of row wrappers
+        val rows = cur.rdd.collect() // ≤ localBound rows — bounded by the gate
         cur.release()
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
@@ -166,8 +180,7 @@ object Components {
           while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
           r
         }
-        rows.foreach { row =>
-          val u = row.getLong(0); val v = row.getLong(1)
+        rows.foreach { case (u, v) =>
           parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
           val ru = find(u); val rv = find(v)
           if (ru < rv) parent.put(rv, ru)

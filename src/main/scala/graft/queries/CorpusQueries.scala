@@ -32,14 +32,15 @@ object CorpusQueries {
     * sequence() would otherwise count DOWN from 0 to -1 and fabricate
     * passages. */
   def paraDedup(s: SparkSession, d: String): DataFrame = {
+    // passage digests via the compiled byte-range pass (r14,
+    // [[graft.expr.SpanMd5s]]): window w's digest = md5 of the original
+    // character span of words w·10..w·10+9 — identical bytes to the former
+    // split + slice + concat_ws + md5 spelling, no per-window span string.
+    // posexplode's index IS the passage position (SpanMd5sSpec pins both).
     val p = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 10)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0L), (size(col("ws")) / 10).cast("long") - 1)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        unhex(md5(concat_ws(" ",
-          slice(col("ws"), (col("pos") * 10 + 1).cast("int"), lit(10))))).as("h"))
+      .select(col("doc_id"),
+        posexplode(graft.expr.SpanMd5s.span_md5s(col("text"), 10, stride = 10))
+          .as(Seq("pos", "h")))
     val w = Window.partitionBy("h").orderBy("doc_id", "pos")
     p.withColumn("rn", row_number().over(w))
       .groupBy("doc_id")
@@ -69,14 +70,14 @@ object CorpusQueries {
     * nothing (all distinct-ish) but compress the wire to 16B + 12B per
     * word. */
   def substringDedup(s: SparkSession, d: String): DataFrame = {
+    // sliding 10-gram digests via the compiled byte-range pass (r14,
+    // [[graft.expr.SpanMd5s]]) — one md5 per word position straight off
+    // the text bytes; the rollup never used the position, so a plain
+    // explode of the digest array replaces the sequence explode + slice +
+    // concat_ws + md5 chain (SpanMd5sSpec pins digest equality).
     val g = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 10)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        unhex(md5(concat_ws(" ",
-          slice(col("ws"), (col("pos") + 1).cast("int"), lit(10))))).as("h"))
+      .select(col("doc_id"),
+        explode(graft.expr.SpanMd5s.span_md5s(col("text"), 10)).as("h"))
     val w = Window.partitionBy("h")
     g.withColumn("c", count(lit(1)).over(w))
       .groupBy("doc_id")
@@ -115,13 +116,14 @@ object CorpusQueries {
   def substringCut(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val grams = docs
-      .filter(size(col("ws")) >= 10)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("gpos"))
-      .select(col("doc_id"), col("gpos"),
-        unhex(md5(concat_ws(" ",
-          slice(col("ws"), (col("gpos") + 1).cast("int"), lit(10))))).as("h"))
+    // gram digests via the compiled byte-range pass (r14, see
+    // [[substringDedup]]); gpos = posexplode index, cast back to the LONG
+    // the interval arithmetic below expects
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.expr.SpanMd5s.span_md5s(col("text"), 10))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("gpos"), col("h"))
     val dupStarts = grams
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") > 1)
@@ -168,14 +170,11 @@ object CorpusQueries {
     * hash and the final rollup has ≤ #sources² groups. Single-source
     * grams (the overwhelming mass) are dropped before the explode. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // sliding 10-gram digests via the compiled byte-range pass (r14, see
+    // [[substringDedup]]; position was never used here)
     val g = documents(s, d)
-      .select(col("source"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 10)
-      .select(col("source"), col("ws"),
-        explode(sequence(lit(0L), (size(col("ws")) - 10).cast("long"))).as("pos"))
       .select(col("source"),
-        unhex(md5(concat_ws(" ",
-          slice(col("ws"), (col("pos") + 1).cast("int"), lit(10))))).as("h"))
+        explode(graft.expr.SpanMd5s.span_md5s(col("text"), 10)).as("h"))
     g.groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(explode(expr(
@@ -203,10 +202,12 @@ object CorpusQueries {
     * `BloomFilterMightContain` — the same expression Spark's runtime
     * row-group filtering injects, so it stays codegen-compatible. */
   def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    // distinct 5-gram digests via the compiled byte-range pass (r14) —
+    // see [[graft.queries.PipelineQueries.decontam]]'s note
     val sh = documents(s, d)
       .select(col("doc_id"),
-        explode(TextFunctions.wordShinglesStrict(col("text"), 5)).as("shingle"))
-      .select(col("doc_id"), unhex(md5(col("shingle"))).as("sh"))
+        explode(graft.expr.SpanMd5s.span_md5s(col("text"), 5, distinct = true))
+          .as("sh"))
     val bench = sh.filter(col("doc_id") % 20 === 0).select("sh").distinct()
     val expected = math.max(bench.count(), 1000L)
     val bloom = bench.select(xxhash64(col("sh")).as("hx"))
