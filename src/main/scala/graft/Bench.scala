@@ -119,13 +119,17 @@ object Bench {
     val forcedJson = forcedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration":${fmt(calibration)},"forced":$forcedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Persist the full record to a file so per-round comparisons never need
-    // stdout forensics, print the full line, then end stdout with a SHORT
-    // always-parseable summary — if the capture truncates the long line
-    // again, the final line still carries the total intact.
+    // stdout forensics. Line order (r15, VERDICT r14 #2/what's-wrong #4):
+    // the SHORT summary prints FIRST and the full per-query line LAST —
+    // the driver parses the FINAL stdout line, and ending with the short
+    // line cost round 14 its official per-query geomean (PERF_r14
+    // n_common: 0, the long line truncated in capture, the short final
+    // line carrying only the total). If the long line is ever truncated,
+    // target/bench.json still holds the full record.
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    println(json)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"target/bench.json"}""")
+    println(json)
     spark.stop()
     // Regression gate (VERDICT r7 #7, normalization r8 #5): with
     // SPARK_GRAFT_BENCH_REF set to a prior round's artifact, any common

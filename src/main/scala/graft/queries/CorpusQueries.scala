@@ -324,7 +324,17 @@ object CorpusQueries {
     * (doc_id, w1, w2) projection (see the scaladoc above). */
   def ngramLmScores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val v = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    // vocabulary scalar folded INTO the plan as a 1-row broadcast (r15,
+    // guide §2.6 overlap / §1.2 fewer passes): the pre-r15 spelling ran
+    // `distinct().count()` as a separate driver-blocking action — one
+    // full corpus scan that everything else waited on. As a broadcast
+    // subtree it executes inside the final action, concurrently with the
+    // other exchanges. Value identity: count_distinct ≡ distinct-count
+    // here (explode(split(...)) never yields null tokens), and the
+    // smoothing arithmetic is unchanged — col("v") is the same BIGINT
+    // lit(v) carried. The dsirWeights totals broadcast is the precedent.
+    val vdf = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
     // bigrams via zipped adjacent slices, NOT a positional explode: the
     // positional generator retains the full `ws` array alongside each
     // generated row until the element_at projection (O(doc_len) bytes per
@@ -348,9 +358,9 @@ object CorpusQueries {
     // rewrite, applied here too; value identity is pinned by the ×3-tier
     // hash gate)
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val model = c2.join(c1, "w1")
+    val model = c2.join(c1, "w1").crossJoin(broadcast(vdf))
       .select(col("w1"), col("w2"),
-        round(-log((col("c2") + 1).cast("double") / (col("c1") + lit(v)).cast("double"))
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
           * 1e6, 0).cast("long").as("nll"))
     bi.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -403,7 +413,10 @@ object CorpusQueries {
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w")).limit(k)
         .select("w"))
-    val vSize = vocab.count() + 1 // + the OOV symbol
+    // |vocab| + 1 (the OOV symbol) folded into the plan as a 1-row
+    // broadcast off the materialized snapshot (r15) — the pre-r15
+    // `vocab.count() + 1` was one more driver-blocking job per invocation
+    val vSizeDf = vocab.agg((count(lit(1)) + 1L).as("vsz"))
     // ≤K rows — the single-partition window is bounded, then broadcast
     val vocabIds = vocab.withColumn("wid", row_number().over(Window.orderBy("w")))
     // bigrams via zipped adjacent slices, NOT a positional explode: the
@@ -442,9 +455,9 @@ object CorpusQueries {
     // the bigram stream; the uncapped twin cannot do this cheaply because
     // its c2 is corpus-sized
     val c1 = c2.groupBy("id1").agg(sum("c2").as("c1"))
-    val model = c2.join(c1, "id1")
+    val model = c2.join(c1, "id1").crossJoin(broadcast(vSizeDf))
       .select(col("id1"), col("id2"),
-        round(-log((col("c2") + 1).cast("double") / (col("c1") + lit(vSize)).cast("double"))
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + col("vsz")).cast("double"))
           * 1e6, 0).cast("long").as("nll"))
     bi.join(model, Seq("id1", "id2"))
       .groupBy("doc_id")
@@ -541,22 +554,22 @@ object CorpusQueries {
       bi.groupBy("id1", "id2").agg(count(lit(1)).as("c2")))
     val c1 = c2.groupBy("id1").agg(sum("c2").as("c1"))
     val cu = c2.groupBy("id2").agg(sum("c2").as("cu"))
-    // one 1-row collect; sum over an EMPTY c1 (a corpus with no multi-word
-    // docs) is null — short-circuit to the empty frame the uncapped/capped
-    // siblings return on that input instead of unboxing an NPE (ADVICE r13)
-    val nRow = c1.agg(coalesce(sum("c1"), lit(0L))).head()
-    val nTotal = nRow.getLong(0)
-    if (nTotal == 0L)
-      return bi.limit(0)
-        .select(col("doc_id"), lit(0L).as("n_bigrams"), lit(0L).as("n_backoff"),
-          lit(0L).as("nll_micro"), lit(0L).as("avg_micro"))
+    // N folded into the plan as a 1-row broadcast off the snapshotted c2
+    // (r15) — the pre-r15 spelling collected it with a driver-blocking
+    // head(). This also retires the ADVICE-r13 empty-corpus NPE guard at
+    // the root: with no driver unboxing there is nothing to NPE, and on a
+    // corpus with no multi-word docs every table below (cu, model2, bi)
+    // is empty, so the query yields the same empty frame the early return
+    // produced (spec-pinned in CorpusQueriesSpec). The cu rows divide by
+    // ntot only where cu exists, and cu nonempty ⇒ ntot > 0.
+    val ntotDf = c1.agg(coalesce(sum("c1"), lit(0L)).as("ntot"))
     val model12 = c2.filter(col("c2") >= minCount).join(c1, "id1")
       .select(col("id1"), col("id2"),
         round(-log(col("c2").cast("double") / col("c1").cast("double"))
           * 1e6, 0).cast("long").as("nll12"))
-    val model2 = broadcast(cu
+    val model2 = broadcast(cu.crossJoin(ntotDf)
       .select(col("id2"),
-        round(-log(lit(0.4) * col("cu").cast("double") / lit(nTotal.toDouble))
+        round(-log(lit(0.4) * col("cu").cast("double") / col("ntot").cast("double"))
           * 1e6, 0).cast("long").as("nll2")))
     bi.join(model12, Seq("id1", "id2"), "left")
       .join(model2, Seq("id2"))

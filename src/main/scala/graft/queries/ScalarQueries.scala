@@ -137,16 +137,33 @@ object ScalarQueries {
 
   /** E9 (`transform.py:197-208`) — deterministic variant (SURVEY §7.3): the
     * reference uses monotonically_increasing_id (partition-dependent); the
-    * oracle-checkable surrogate key is row_number over a stable key, minus 1.
-    * NOTE the single-partition window: fine for dimension-table SK assignment
-    * (dims are small); at fact-table scale use zipWithIndex/monotonic ids. */
+    * oracle-checkable surrogate key is rank-by-stable-key, minus 1.
+    *
+    * DISTRIBUTED two-pass spelling (r15, VERDICT r14 #3/#6): the pre-r15
+    * `row_number().over(Window.orderBy("o_orderkey"))` planned a
+    * single-partition global WindowExec — a hard scale-killer on a
+    * fact-sized input. This spelling range-partitions by the key, sorts
+    * within partitions, and assigns the global index via `zipWithIndex`
+    * (one count pass for the per-partition offsets, one map pass to stamp
+    * them — the textbook distributed row_number). Values are identical by
+    * construction: o_orderkey is unique, range partitions are disjoint
+    * ordered key intervals, so offset + local position = global rank − 1
+    * whatever the sampled boundaries. The Int cast mirrors row_number's
+    * IntegerType domain (both spellings assume < 2³¹ rows — a DIM table). */
   def surrogateId(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    orders(s, d)
-      .select(
-        (row_number().over(Window.orderBy("o_orderkey")) - 1).as("dim_id"),
-        col("o_orderkey"))
-      .orderBy("dim_id")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val src = orders(s, d).select(col("o_orderkey"))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = src.repartitionByRange(parts, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    val outSchema = StructType(Seq(
+      StructField("dim_id", IntegerType, nullable = false),
+      src.schema("o_orderkey").copy(name = "o_orderkey")))
+    val stamped = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row(i.toInt, r.get(0))
+    }
+    s.createDataFrame(stamped, outSchema).orderBy("dim_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

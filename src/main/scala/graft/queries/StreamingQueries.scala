@@ -217,6 +217,17 @@ object StreamingQueries {
           case None => s.conf.unset(providerKey)
         }
       }
+    // Eager provider unload (r15, guide §5 driver/memory hygiene): a
+    // terminated AvailableNow stream leaves its state-store providers in
+    // the JVM-global loadedProviders map until the 60 s maintenance tick
+    // notices they are inactive — each holding its in-memory state maps,
+    // each snapshotted by every maintenance pass until then, taxing
+    // whatever runs next (measured: hourly 1.96 → 1.63 s, join 3.83 →
+    // 2.96 s median-of-5, and it removes the multi-second drift across
+    // back-to-back runs — tools/ProbeStreamKnobs). Correctness-neutral: a
+    // provider unloaded under a live query is reloaded from its checkpoint
+    // on the next batch; this query has terminated.
+    org.apache.spark.sql.GraftBridge.unloadAllStateStores()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches <= 1,
       s"file source split into $dataBatches data batches — the oracle's " +
@@ -469,6 +480,10 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // foreachBatch runs stateless (no state store), but unload keeps the
+    // entry symmetric with [[runAvailableNow]] — a no-op when nothing is
+    // loaded, and it drops whatever an earlier entry left behind
+    org.apache.spark.sql.GraftBridge.unloadAllStateStores()
     s.read.parquet(out).orderBy("doc_id")
   }
 

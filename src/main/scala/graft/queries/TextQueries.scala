@@ -253,55 +253,16 @@ object TextQueries {
     * shuffle; the payload column is read only for its leading page
     * (header parse), and Catalyst prunes it entirely from the output. */
   def pairCuration(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val be32 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
-    val be16 = (c: Column) => unhex(lpad(hex(c), 4, "0"))
-    val wGen = (lit(64L) + pmod(col("doc_id"), lit(1984L))).cast("int")
-    val hGenPng = (lit(64L) + pmod(col("doc_id") * 7L, lit(1984L))).cast("int")
-    val hGenJpg = (lit(64L) + pmod(col("doc_id") * 11L, lit(1984L))).cast("int")
-    val pngPayload = concat(
-      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
-      be32(wGen), be32(hGenPng),
-      unhex(lit("0806000000"))) // bit depth / color type / compression+filter+interlace
-    // real JPEG header: SOI, a full JFIF APP0 segment (16-byte length the
-    // walk must hop), then SOF0 carrying height/width big-endian plus the
-    // 3-component spec — parsed back by the marker walk, never by offset
-    // arithmetic tied to this layout
-    val jpgPayload = concat(
-      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
-      be16(hGenJpg), be16(wGen),
-      unhex(lit("03012200021101031101")))
-    // WebP arms (VERDICT r13 #6) — real RIFF containers for all three
-    // variants, dims recovered by [[graft.operators.Multimodal.webpDims]]'
-    // fixed-offset arithmetic: lossy "VP8 " (frame tag + 9D012A sync +
-    // 14-bit LE dims), lossless "VP8L" (0x2F sig + (w-1)|(h-1)<<14 LE32),
-    // extended "VP8X" (LE24 canvas w-1/h-1)
-    val hGenWpV = (lit(64L) + pmod(col("doc_id") * 13L, lit(1984L))).cast("int")
-    val hGenWpL = (lit(64L) + pmod(col("doc_id") * 17L, lit(1984L))).cast("int")
-    val hGenWpX = (lit(64L) + pmod(col("doc_id") * 19L, lit(1984L))).cast("int")
-    def leBytes(c: Column, n: Int): Column =
-      unhex(concat((0 until n).map(i =>
-        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
-    val webpLossyPayload = concat(
-      unhex(lit("52494646160000005745425056503820" + "0A000000" + "D00100" + "9D012A")),
-      leBytes(wGen, 2), leBytes(hGenWpV, 2))
-    val webpLosslessPayload = concat(
-      unhex(lit("524946461100000057454250" + "5650384C" + "05000000" + "2F")),
-      leBytes(wGen - 1 + (hGenWpL - 1) * 16384, 4))
-    val webpXPayload = concat(
-      unhex(lit("52494646160000005745425056503858" + "0A000000" + "00000000")),
-      leBytes(wGen - 1, 3), leBytes(hGenWpX - 1, 3))
-    // the non-image arm the format gate must DROP — includes a red-herring
-    // SOI mid-payload so only a signature test at offset 0 passes
-    val rawPayload = unhex(lit("DEADBEEF00FFD8"))
+    // compiled payload constructor (r15) — see [[pairCurationPayloadHof]]
+    // for the retained Column tower this is byte-for-byte pinned against
+    // (SyntheticPayloadsSpec); one expression per reference lets codegen
+    // CSE collapse the five format probes that each inlined the full
+    // CASE/unhex tower before
+    import org.apache.spark.sql.GraftBridge
+    val payload = GraftBridge.column(
+      graft.expr.PairPayload(GraftBridge.expression(col("doc_id"))))
     val pairs = documents(s, d).select(
-      col("doc_id"), col("lang"), col("text"),
-      when(pmod(col("doc_id"), lit(17L)) === 0L, rawPayload)
-        .when(pmod(col("doc_id"), lit(13L)) === 0L, jpgPayload)
-        .when(pmod(col("doc_id"), lit(19L)) === 0L, webpLossyPayload)
-        .when(pmod(col("doc_id"), lit(23L)) === 0L, webpLosslessPayload)
-        .when(pmod(col("doc_id"), lit(29L)) === 0L, webpXPayload)
-        .otherwise(pngPayload).as("payload"))
+      col("doc_id"), col("lang"), col("text"), payload.as("payload"))
     pairs
       .withColumn("jd", graft.operators.Multimodal.jpegDims(col("payload")))
       .withColumn("wd", graft.operators.Multimodal.webpDims(col("payload")))
@@ -324,6 +285,53 @@ object TextQueries {
       .filter(col("n_chars") >= 20 && col("n_words") >= 5)
       .filter(col("lang").isInCollection(Seq("en", "es", "fr", "de")))
       .orderBy("doc_id")
+  }
+
+  /** The pre-r15 pure-Column spelling of the pair-table payload — the
+    * SyntheticPayloadsSpec byte-identity pin for [[graft.expr.PairPayload]].
+    * Branch layout: every 17th doc a non-image arm (red-herring SOI
+    * mid-payload, dropped by the format gate), every 13th a real JPEG
+    * header (SOI + full JFIF APP0 + SOF0, dims big-endian), every
+    * 19th/23rd/29th a real WebP container (lossy "VP8 " / lossless "VP8L" /
+    * extended "VP8X" — VERDICT r13 #6), the rest a PNG sig + IHDR; all
+    * dims arithmetic-derived from doc_id. */
+  private[graft] def pairCurationPayloadHof(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    val be32 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
+    val be16 = (c: Column) => unhex(lpad(hex(c), 4, "0"))
+    val wGen = (lit(64L) + pmod(docId, lit(1984L))).cast("int")
+    val hGenPng = (lit(64L) + pmod(docId * 7L, lit(1984L))).cast("int")
+    val hGenJpg = (lit(64L) + pmod(docId * 11L, lit(1984L))).cast("int")
+    val pngPayload = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
+      be32(wGen), be32(hGenPng),
+      unhex(lit("0806000000"))) // bit depth / color type / compression+filter+interlace
+    val jpgPayload = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+      be16(hGenJpg), be16(wGen),
+      unhex(lit("03012200021101031101")))
+    val hGenWpV = (lit(64L) + pmod(docId * 13L, lit(1984L))).cast("int")
+    val hGenWpL = (lit(64L) + pmod(docId * 17L, lit(1984L))).cast("int")
+    val hGenWpX = (lit(64L) + pmod(docId * 19L, lit(1984L))).cast("int")
+    def leBytes(c: Column, n: Int): Column =
+      unhex(concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*))
+    val webpLossyPayload = concat(
+      unhex(lit("52494646160000005745425056503820" + "0A000000" + "D00100" + "9D012A")),
+      leBytes(wGen, 2), leBytes(hGenWpV, 2))
+    val webpLosslessPayload = concat(
+      unhex(lit("524946461100000057454250" + "5650384C" + "05000000" + "2F")),
+      leBytes(wGen - 1 + (hGenWpL - 1) * 16384, 4))
+    val webpXPayload = concat(
+      unhex(lit("52494646160000005745425056503858" + "0A000000" + "00000000")),
+      leBytes(wGen - 1, 3), leBytes(hGenWpX - 1, 3))
+    val rawPayload = unhex(lit("DEADBEEF00FFD8"))
+    when(pmod(docId, lit(17L)) === 0L, rawPayload)
+      .when(pmod(docId, lit(13L)) === 0L, jpgPayload)
+      .when(pmod(docId, lit(19L)) === 0L, webpLossyPayload)
+      .when(pmod(docId, lit(23L)) === 0L, webpLosslessPayload)
+      .when(pmod(docId, lit(29L)) === 0L, webpXPayload)
+      .otherwise(pngPayload)
   }
 
   /** Image near-dup dedup by PERCEPTUAL hash (Krawetz dHash — the standard
@@ -353,15 +361,27 @@ object TextQueries {
   /** The synthesized per-doc BMP payload — shared between [[imageDhash]]
     * and [[PipelineQueries.binaryIngest]]'s file materialization. */
   private[graft] def imagePayloads(s: SparkSession, d: String): DataFrame = {
+    // compiled BMP constructor (r15) — one array fill instead of the ~73
+    // concat terms the dHash's 128 byte probes each inlined; byte-identity
+    // vs [[imagePayloadHof]] pinned by SyntheticPayloadsSpec
+    import org.apache.spark.sql.GraftBridge
+    documents(s, d).select(col("doc_id"),
+      GraftBridge.column(graft.expr.ImageBmp(GraftBridge.expression(col("doc_id"))))
+        .as("payload"))
+  }
+
+  /** The pre-r15 pure-Column spelling of the per-doc BMP — the
+    * SyntheticPayloadsSpec byte-identity pin for [[graft.expr.ImageBmp]]. */
+  private[graft] def imagePayloadHof(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.operators.Multimodal
-    val mirror = pmod(col("doc_id"), lit(5L)) === 4L
-    val base = when(mirror, col("doc_id") - 1L).otherwise(col("doc_id"))
+    val mirror = pmod(docId, lit(5L)) === 4L
+    val base = when(mirror, docId - 1L).otherwise(docId)
     val bright = when(mirror, lit(2)).otherwise(lit(0))
     def pix(x: Int, y: Int) =
       (pmod(base * 37L + lit(x * 11 + y * 23)
           + pmod(base * lit((x + 3) * (y + 7)), lit(97L)),
           lit(250L)) + bright).cast("int")
-    documents(s, d).select(col("doc_id"), Multimodal.syntheticBmp(pix).as("payload"))
+    Multimodal.syntheticBmp(pix)
   }
 
   def imageDhash(s: SparkSession, d: String): DataFrame = {

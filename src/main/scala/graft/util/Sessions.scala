@@ -36,6 +36,22 @@ object Sessions {
       // GC-driven ContextCleaner reclaim the FINAL generation's files once
       // the caller drops the result (timing is GC-driven, not immediate).
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // file:// without client-side checksumming (r15, guide §6): Hadoop's
+      // default LocalFileSystem wraps every local write in ChecksumFileSystem
+      // — one .crc sidecar create+write+rename per file — which doubles the
+      // fs ops on data the local disk already guarantees. It taxes exactly
+      // the paths that are pure scratch here: streaming checkpoint WALs,
+      // state-store delta files, sink _spark_metadata, snapshot/fixture
+      // dirs. Measured on the streaming entries (tools/ProbeStreamKnobs,
+      // median-of-5): hourly 1.63 → 1.40 s, stream-stream join 2.96 →
+      // 2.55 s on top of the eager provider unload. On a real cluster the
+      // checkpoint fs is HDFS/S3, where this conf is inert — it changes
+      // local-scheme I/O only, never results (the ×3-tier oracle gate
+      // re-proves it). SPARK_GRAFT_CHECKSUM_FS=1 restores the default.
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("SPARK_GRAFT_CHECKSUM_FS").contains("1"))
+          "org.apache.hadoop.fs.LocalFileSystem"
+        else "org.apache.hadoop.fs.RawLocalFileSystem")
       .withExtensions(new graft.expr.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

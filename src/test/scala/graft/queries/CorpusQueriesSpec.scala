@@ -204,6 +204,21 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_lm_backoff: corpus with no multi-word docs yields the empty frame (in-plan N, no NPE)") {
+    // r15 folded N into the plan as a 1-row broadcast, retiring the
+    // driver-side empty-corpus guard; this pins the behavior the guard
+    // protected — no exception, empty result, full 5-column schema.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bo_empty").toString
+    Seq((1L, "solo"), (2L, "alone"), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusQueries.ngramLmScoresBackoff(spark, dir, k = 4)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "n_backoff", "nll_micro", "avg_micro"))
+    assert(out.count() == 0L)
+  }
+
   test("token_hist: buckets partition the corpus and bounds nest") {
     import spark.implicits._
     val hist = CorpusQueries.tokenHist(spark, sf).collect()
